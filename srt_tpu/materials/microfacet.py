@@ -1,0 +1,135 @@
+"""Anisotropic Beckmann microfacet distribution with visible-normal sampling.
+
+Batched JAX port of the *math* of the reference's PBRT-style
+``microfacet_distribution.h`` (D: lines 155-162, Lambda: 164-173, VNDF
+sampling via the erf-domain numerical inversion: 12-107, 175-211). The
+numerical inversion runs a fixed 6-step Newton-bisection (the reference
+iterates up to 10 with an early-out; a fixed count keeps the loop unrolled
+and branch-free for the VPU).
+
+All directions are in the local shading frame (+z = normal).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import erfinv
+
+from srt_tpu.core import frame
+
+_SQRT_PI_INV = 0.5641895835477563
+
+
+def beckmann_d(wh, alphax, alphay):
+    """Anisotropic Beckmann NDF (microfacet_distribution.h:155-162)."""
+    tan2 = frame.tan2_theta(wh)
+    cos4 = frame.cos2_theta(wh) ** 2
+    e = jnp.exp(-tan2 * (frame.cos2_phi(wh) / (alphax * alphax)
+                         + frame.sin2_phi(wh) / (alphay * alphay)))
+    d = e / (jnp.pi * alphax * alphay * jnp.maximum(cos4, 1e-16))
+    return jnp.where(jnp.isfinite(tan2), d, 0.0)
+
+
+def beckmann_lambda(w, alphax, alphay):
+    """Rational-approx Lambda (microfacet_distribution.h:164-173)."""
+    abs_tan = jnp.abs(frame.tan_theta(w))
+    alpha = jnp.sqrt(frame.cos2_phi(w) * alphax * alphax
+                     + frame.sin2_phi(w) * alphay * alphay)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
+    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
+    lam = jnp.where((a > 1.6) | ~jnp.isfinite(abs_tan), 0.0, lam)
+    return lam
+
+
+def g1(w, alphax, alphay):
+    return 1.0 / (1.0 + beckmann_lambda(w, alphax, alphay))
+
+
+def g(wo, wi, alphax, alphay):
+    return 1.0 / (1.0 + beckmann_lambda(wo, alphax, alphay)
+                  + beckmann_lambda(wi, alphax, alphay))
+
+
+def _beckmann_sample11(cos_theta_i, u1, u2):
+    """Sample P22 slopes for normal-incidence-stretched wi.
+
+    Fixed-iteration version of microfacet_distribution.h:34-107.
+    """
+    u1 = jnp.maximum(u1, 1e-6)
+    # Normal-incidence special case (cosThetaI > .9999).
+    r = jnp.sqrt(-jnp.log1p(-u1))
+    phi = 2.0 * jnp.pi * u2
+    sx_normal = r * jnp.cos(phi)
+    sy_normal = r * jnp.sin(phi)
+
+    cos_t = jnp.clip(cos_theta_i, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    tan_t = sin_t / jnp.maximum(cos_t, 1e-6)
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-6)
+
+    a = jnp.full_like(u1, -1.0)
+    c = jax.scipy.special.erf(cos_t)
+    sample_x = u1
+
+    theta_i = jnp.arccos(cos_t)
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    b = c - (1.0 + c) * jnp.power(1.0 - sample_x, fit)
+
+    normalization = 1.0 / (1.0 + c + _SQRT_PI_INV * tan_t
+                           * jnp.exp(-cot_t * cot_t))
+
+    def body(_, carry):
+        a, b, c = carry
+        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
+        inv_erf = erfinv(jnp.clip(b, -0.9999, 0.9999))
+        value = (normalization
+                 * (1.0 + b + _SQRT_PI_INV * tan_t * jnp.exp(-inv_erf * inv_erf))
+                 - sample_x)
+        derivative = normalization * (1.0 - inv_erf * tan_t)
+        c = jnp.where(value > 0.0, b, c)
+        a = jnp.where(value > 0.0, a, b)
+        b = b - value / jnp.where(jnp.abs(derivative) < 1e-10,
+                                  jnp.sign(derivative) * 1e-10 + 1e-20,
+                                  derivative)
+        return a, b, c
+
+    a, b, c = jax.lax.fori_loop(0, 6, body, (a, b, c))
+    slope_x = erfinv(jnp.clip(b, -0.9999, 0.9999))
+    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                              -0.9999, 0.9999))
+
+    normal_inc = cos_theta_i > 0.9999
+    return (jnp.where(normal_inc, sx_normal, slope_x),
+            jnp.where(normal_inc, sy_normal, slope_y))
+
+
+def sample_wh_visible(wo, alphax, alphay, u1, u2):
+    """Visible-normal Beckmann sampling (microfacet_distribution.h:12-32,
+    203-210): stretch, sample P22 slopes, rotate, unstretch, renormalize."""
+    flip = wo[..., 2] < 0.0
+    wi = jnp.where(flip[..., None], -wo, wo)
+
+    stretched = jnp.stack([alphax * wi[..., 0], alphay * wi[..., 1],
+                           wi[..., 2]], axis=-1)
+    stretched = stretched / jnp.maximum(
+        jnp.linalg.norm(stretched, axis=-1, keepdims=True), 1e-20)
+
+    sx, sy = _beckmann_sample11(frame.cos_theta(stretched), u1, u2)
+    cp, sp = frame.cos_phi(stretched), frame.sin_phi(stretched)
+    tmp = cp * sx - sp * sy
+    sy = sp * sx + cp * sy
+    sx = tmp
+    sx = alphax * sx
+    sy = alphay * sy
+
+    wh = jnp.stack([-sx, -sy, jnp.ones_like(sx)], axis=-1)
+    wh = wh / jnp.maximum(jnp.linalg.norm(wh, axis=-1, keepdims=True), 1e-20)
+    return jnp.where(flip[..., None], -wh, wh)
+
+
+def pdf_wh_visible(wo, wh, alphax, alphay):
+    """VNDF density: D(wh) G1(wo) |wo.wh| / |cos(wo)|
+    (microfacet_distribution.h:130-135, sampleVisibleArea branch)."""
+    return (beckmann_d(wh, alphax, alphay) * g1(wo, alphax, alphay)
+            * jnp.abs(jnp.sum(wo * wh, axis=-1))
+            / jnp.maximum(frame.abs_cos_theta(wo), 1e-8))

@@ -1,0 +1,128 @@
+"""Top-level render API: pixels × samples -> image, jit-compiled per scene.
+
+Replaces the reference's ``main`` + ``renderthread`` runtime
+(``Raytracing_n.cpp:815-952``): the mutex-guarded dynamic pixel counter
+becomes static tiling of a flat ray wavefront (uniform Sobol-batch cost makes
+dynamic stealing pointless on SIMD hardware), and the 8 CPU threads become
+one fused XLA program per sample-chunk, optionally sharded over a device
+mesh by :mod:`srt_tpu.dist.sharding`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srt_tpu.core.rng import RaySampler, bits_to_uniform, hash_combine
+from srt_tpu.core.sobol import sobol_points
+from srt_tpu.render import film
+from srt_tpu.render.camera import Camera
+from srt_tpu.render.integrator import trace
+from srt_tpu.scene.ir import Scene
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 256
+    height: int = 256
+    spp: int = 64
+    max_depth: int = 16
+    seed: int = 0
+    rr_start: int = 1 << 30        # off by default (reference parity)
+    sample_chunk: int = 8          # spp folded into one compiled wavefront
+    pixel_chunk: int = 1 << 16     # pixels per device dispatch
+    sobol_pixel_jitter: bool = True  # reference jitters pixels with Sobol
+                                     # (Raytracing_n.cpp:834-835)
+
+
+# Per-ray sampler dimensions reserved for camera decisions.
+_DIM_LENS = 32
+_DIM_TIME = 34
+
+
+@partial(jax.jit, static_argnames=("width", "height", "max_depth", "rr_start",
+                                   "n_samples"))
+def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
+                  sobol_pts, seed, *, width, height, max_depth, rr_start,
+                  n_samples):
+    """Radiance sum over ``n_samples`` consecutive samples for a pixel chunk.
+
+    Flattens (pixels × samples) into one wavefront so the whole chunk is a
+    single fused program — the spp axis is data parallelism, exactly like
+    extra pixels.
+    """
+    p = pixel_ids.shape[0]
+    pix = jnp.repeat(pixel_ids, n_samples)                    # (P*S,)
+    samp = sample0 + jnp.tile(jnp.arange(n_samples), p)       # (P*S,)
+
+    col = (pix % width).astype(jnp.float32)
+    row = (pix // width).astype(jnp.float32)
+
+    jitter = sobol_pts[samp % sobol_pts.shape[0]]             # (P*S, 2)
+    s = (col + jitter[:, 0]) / width
+    t = ((height - 1.0 - row) + jitter[:, 1]) / height
+
+    sampler = RaySampler.create(seed, pix, samp)
+    u_l1 = sampler.uniform(_DIM_LENS)
+    u_l2 = sampler.uniform(_DIM_LENS + 1)
+    u_t = sampler.uniform(_DIM_TIME)
+    rays = camera.rays(s, t, u_l1, u_l2, u_t)
+
+    radiance = trace(scene, rays, sampler, max_depth=max_depth,
+                     rr_start=rr_start)
+    return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1)  # (P, 3)
+
+
+def render(scene: Scene, camera: Camera, config: RenderConfig,
+           sobol_file: str | None = None) -> jnp.ndarray:
+    """Render a linear-radiance image (H, W, 3) float32.
+
+    Outer host loop over sample chunks and pixel chunks; all hot work is in
+    the jitted ``_render_chunk``. Accumulation stays on device in f32.
+    """
+    w, h, spp = config.width, config.height, config.spp
+    n_pixels = w * h
+
+    if config.sobol_pixel_jitter:
+        pts = sobol_points(max(spp, 2), 2, dir_file=sobol_file)[:max(spp, 1)]
+        sobol_pts = jnp.asarray(pts, jnp.float32)
+    else:
+        sobol_pts = None  # fall back to RNG jitter below
+
+    acc = jnp.zeros((n_pixels, 3), jnp.float32)
+    chunk = min(config.sample_chunk, spp)
+
+    for p0 in range(0, n_pixels, config.pixel_chunk):
+        p1 = min(p0 + config.pixel_chunk, n_pixels)
+        pixel_ids = jnp.arange(p0, p1, dtype=jnp.int32)
+        part = jnp.zeros((p1 - p0, 3), jnp.float32)
+        for s0 in range(0, spp, chunk):
+            n_s = min(chunk, spp - s0)
+            if sobol_pts is None:
+                # pure-RNG pixel jitter: derive from the sampler stream
+                jit_pts = _rng_jitter(spp, config.seed)
+            else:
+                jit_pts = sobol_pts
+            part = part + _render_chunk(
+                scene, camera, pixel_ids, s0, jit_pts,
+                config.seed, width=w, height=h,
+                max_depth=config.max_depth, rr_start=config.rr_start,
+                n_samples=n_s)
+        acc = acc.at[p0:p1].add(part)
+
+    img = (acc / spp).reshape(h, w, 3)
+    return img
+
+
+def _rng_jitter(spp: int, seed: int):
+    s = jnp.arange(spp, dtype=jnp.uint32)
+    return jnp.stack([
+        bits_to_uniform(hash_combine(s, jnp.uint32(seed * 2 + 101))),
+        bits_to_uniform(hash_combine(s, jnp.uint32(seed * 2 + 102)))], axis=-1)
+
+
+def render_tonemapped(scene, camera, config, **kw):
+    return film.tonemap(render(scene, camera, config, **kw))

@@ -1,0 +1,163 @@
+"""Wavefront path integrator: bounded ``lax.scan`` over bounces.
+
+This is the TPU-native re-design of the reference's recursive ``color()``
+estimator (``Raytracing_n/Raytracing_n.cpp:55-106``): recursion becomes one
+uniform loop state (throughput, ray, alive-mask), the specular-vs-diffuse
+branch becomes masked lane math, and the mixture-PDF NEE
+(``mixture_pdf``/``hitable_pdf``, ``pdf.h:159-193``) is evaluated in closed
+form. Per SURVEY §7 the reference's unbounded ``while (pdf == 0)`` retry
+(``Raytracing_n.cpp:79-83``) is replaced by one sample with a
+zero-contribution fallback, and the depth cap is a static scan length.
+
+Participating media (``constant_medium.h:19-50``) are folded in here — their
+"hit" is a stochastic free-flight sample, so it lives with the RNG rather
+than in the deterministic intersector.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from srt_tpu.core.ray import Ray
+from srt_tpu.core.rng import RaySampler
+from srt_tpu.core.vecmath import de_nan, dot, where3
+from srt_tpu.materials import materials as mats
+from srt_tpu.render import lights
+from srt_tpu.render.intersect import Hit, intersect_scene, _BIG
+from srt_tpu.scene.ir import Scene
+
+# Static sampler dimension slots per bounce (one decision per slot).
+_DIM_MEDIUM = 0       # free-flight exponential (one per medium, +index)
+_DIM_SPEC = 8         # 4 specular uniforms
+_DIM_MIX = 12         # light-vs-bsdf pick
+_DIM_LIGHT_PICK = 13
+_DIM_SAMPLE = 14      # u1, u2 for light point / bsdf lobe
+_DIM_RR = 16          # russian roulette
+
+
+def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
+    """Override the surface hit with a nearer in-scattering event, if any.
+
+    Exponential free-flight inside each sphere-bounded homogeneous medium
+    (math of ``constant_medium.h:19-50``); with unit ray directions the
+    t-parameter *is* the distance, so no length rescaling is needed.
+    """
+    hit = surf
+    for m in range(scene.n_media):
+        oc = ray.origin - scene.med_center[m]
+        b = dot(oc, ray.direction)
+        c = jnp.sum(oc * oc, axis=-1) - scene.med_radius[m] ** 2
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # Boundary crossings from -inf (constant_medium.h:23): entry clamps
+        # to 0 when the ray starts inside.
+        t_enter = jnp.maximum(-b - sq, 0.0)
+        t_exit = jnp.minimum(-b + sq, hit.t)
+        inside = (disc > 0.0) & (t_exit > t_enter)
+
+        u = jnp.maximum(sampler.uniform(_DIM_MEDIUM + m), 1e-12)
+        free_flight = -jnp.log(u) / scene.med_density[m]
+        t_sc = t_enter + free_flight
+        scatters = inside & (free_flight < (t_exit - t_enter))
+
+        med_hit = Hit(
+            t=t_sc, hit=scatters, p=ray.at(t_sc),
+            normal=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]),
+                                    ray.origin.shape),
+            uv=jnp.zeros(ray.origin.shape[:-1] + (2,)),
+            mat=jnp.full(ray.origin.shape[:-1], scene.med_mat[m], jnp.int32))
+        hit = hit.closer_of(med_hit)
+    return hit
+
+
+def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
+          rr_start: int = 64) -> jnp.ndarray:
+    """Estimate radiance for a wavefront of primary rays -> (N, 3).
+
+    ``rr_start``: bounce index where Russian roulette begins (the reference
+    uses a hard depth-50 cap and no roulette, ``Raytracing_n.cpp:42,63``;
+    set ``rr_start >= max_depth`` for reference-equivalent behavior).
+    """
+    n = ray.origin.shape[0]
+    state = dict(
+        o=ray.origin, d=ray.direction, time=ray.time,
+        beta=jnp.ones((n, 3)), radiance=jnp.zeros((n, 3)),
+        alive=jnp.ones((n,), bool),
+    )
+
+    def bounce(state, depth):
+        s = sampler.fold(depth)
+        r = Ray(origin=state["o"], direction=state["d"], time=state["time"])
+        alive = state["alive"]
+        beta = state["beta"]
+        radiance = state["radiance"]
+
+        hit = intersect_scene(scene, r, 1e-3, _BIG)
+        if scene.n_media:
+            hit = _apply_media(scene, r, s, hit)
+
+        # Emission (added whether or not the path continues,
+        # Raytracing_n.cpp:61,94,99).
+        emit = mats.emitted(scene, hit.mat, hit.uv, hit.p, hit.normal, r.direction)
+        radiance = radiance + jnp.where((alive & hit.hit)[:, None],
+                                        beta * emit, 0.0)
+
+        scatters = hit.hit & mats.is_scattering(scene, hit.mat)
+        specular = scatters & mats.is_specular(scene, hit.mat)
+        diffuse = scatters & ~specular
+
+        # --- specular branch (Raytracing_n.cpp:66-70) -------------------
+        u_spec = jnp.stack([s.uniform(_DIM_SPEC + i) for i in range(4)], -1)
+        spec_dir, spec_atten = mats.scatter_specular(
+            scene, hit.mat, hit.p, hit.normal, hit.uv, r.direction, u_spec)
+
+        # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
+        u1 = s.uniform(_DIM_SAMPLE)
+        u2 = s.uniform(_DIM_SAMPLE + 1)
+        bsdf_dir = mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction,
+                                    u1, u2)
+        if scene.n_lights:
+            light_dir = lights.sample_lights(scene, hit.p,
+                                             s.uniform(_DIM_LIGHT_PICK), u1, u2)
+            pick_light = s.uniform(_DIM_MIX) < 0.5
+            wi = where3(pick_light, light_dir, bsdf_dir)
+            pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
+                   + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
+                                         r.direction, wi))
+        else:
+            wi = bsdf_dir
+            pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi)
+        weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
+                                  r.direction, wi)
+        ok = pdf > 1e-9
+        diff_beta = jnp.where(ok[:, None],
+                              weight / jnp.maximum(pdf, 1e-9)[:, None], 0.0)
+
+        # --- merge branches ---------------------------------------------
+        new_dir = where3(specular, spec_dir, wi)
+        beta_scale = where3(specular, spec_atten, diff_beta)
+        new_beta = beta * beta_scale
+        new_alive = alive & scatters & (jnp.max(new_beta, axis=-1) > 0.0)
+
+        # Russian roulette (ours; reference uses only the depth cap).
+        if rr_start < max_depth:
+            q = jnp.clip(jnp.max(new_beta, axis=-1), 0.05, 1.0)
+            do_rr = depth >= rr_start
+            survive = s.uniform(_DIM_RR) < q
+            new_alive = new_alive & (~do_rr | survive)
+            new_beta = jnp.where((do_rr & new_alive)[:, None],
+                                 new_beta / q[:, None], new_beta)
+
+        state = dict(
+            o=where3(alive & scatters, hit.p, state["o"]),
+            d=where3(alive & scatters, new_dir, state["d"]),
+            time=state["time"],
+            beta=jnp.where(alive[:, None], new_beta, beta),
+            radiance=radiance,
+            alive=new_alive & alive,
+        )
+        return state, None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — but count upstream.
+    return de_nan(state["radiance"])

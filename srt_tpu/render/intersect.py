@@ -1,0 +1,287 @@
+"""Vectorized closest-hit intersection over the SoA scene.
+
+Replaces the reference's virtual ``hitable::hit`` dispatch chain
+(``hitable_list.h:21-33`` -> ``bvh.h:64-93`` -> per-shape ``hit``) with three
+wavefront primitives:
+
+* spheres/rects: chunked brute force — a handful of analytic primitives per
+  scene makes a (rays × prim-chunk) vectorized test cheaper than any tree;
+* triangles: stackless skip-link BVH traversal in a single ``lax.while_loop``
+  with all rays in lockstep (per-ray node cursors, two gathers per step);
+* media are *not* handled here — their "hit" is stochastic
+  (``constant_medium.h:19-50``) and owned by the integrator where RNG lives.
+
+All functions take rays as SoA ``(N,)`` batches and return a ``Hit`` SoA.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from srt_tpu.core.ray import Ray
+from srt_tpu.core.vecmath import cross, dot, normalize
+from srt_tpu.scene.ir import Scene
+
+_BIG = jnp.float32(3.0e38)
+PRIM_CHUNK = 32  # static prims per vectorized brute-force block
+
+
+class Hit(NamedTuple):
+    """SoA hit record (reference ``hit_record``, ``hitable.h:17-25``)."""
+    t: jnp.ndarray        # (N,) ray parameter, _BIG when miss
+    hit: jnp.ndarray      # (N,) bool
+    p: jnp.ndarray        # (N, 3) world position
+    normal: jnp.ndarray   # (N, 3) shading normal (may be flipped)
+    uv: jnp.ndarray       # (N, 2)
+    mat: jnp.ndarray      # (N,) int32 material id (0 when miss)
+
+    @staticmethod
+    def none(n: int) -> "Hit":
+        return Hit(t=jnp.full((n,), _BIG), hit=jnp.zeros((n,), bool),
+                   p=jnp.zeros((n, 3)), normal=jnp.zeros((n, 3)),
+                   uv=jnp.zeros((n, 2)), mat=jnp.zeros((n,), jnp.int32))
+
+    def closer_of(self, other: "Hit") -> "Hit":
+        take = other.hit & (other.t < self.t)
+        return Hit(
+            t=jnp.where(take, other.t, self.t),
+            hit=self.hit | other.hit,
+            p=jnp.where(take[:, None], other.p, self.p),
+            normal=jnp.where(take[:, None], other.normal, self.normal),
+            uv=jnp.where(take[:, None], other.uv, self.uv),
+            mat=jnp.where(take, other.mat, self.mat),
+        )
+
+
+def _sphere_uv(unit_p):
+    """Spherical uv (reference ``get_sphere_uv``, ``hitable.h:10-15``)."""
+    phi = jnp.arctan2(unit_p[..., 2], unit_p[..., 0])
+    theta = jnp.arcsin(jnp.clip(unit_p[..., 1], -1.0, 1.0))
+    u = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
+    v = (theta + jnp.pi / 2.0) / jnp.pi
+    return jnp.stack([u, v], axis=-1)
+
+
+def intersect_spheres(scene: Scene, ray: Ray, t_min, t_max) -> Hit:
+    """Closest hit among all spheres (incl. moving + env variants).
+
+    Math of ``sphere.h:36-66`` / ``moving_sphere.h:24-51`` / the env
+    always-hit rule of ``env_sphere.h:27-38``, vectorized over
+    (rays, prim-chunk) blocks.
+    """
+    n = ray.origin.shape[0]
+    best = Hit.none(n)
+    s_total = scene.n_spheres
+    for c0 in range(0, s_total, PRIM_CHUNK):
+        c1 = min(c0 + PRIM_CHUNK, s_total)
+        best = best.closer_of(
+            _sphere_chunk(scene, ray, t_min, t_max, c0, c1))
+    return best
+
+
+def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit:
+    cen0 = scene.sph_center0[c0:c1]          # (C, 3)
+    cen1 = scene.sph_center1[c0:c1]
+    times = scene.sph_times[c0:c1]
+    rad = scene.sph_radius[c0:c1]            # (C,)
+    # Motion lerp (moving_sphere.h:19-21); static spheres have cen1 == cen0.
+    dt = jnp.clip((ray.time[:, None] - times[None, :, 0])
+                  / jnp.maximum(times[None, :, 1] - times[None, :, 0], 1e-20),
+                  a_min=None, a_max=None)
+    cen = cen0[None] + dt[..., None] * (cen1 - cen0)[None]  # (N, C, 3)
+
+    oc = ray.origin[:, None, :] - cen                        # (N, C, 3)
+    d = ray.direction[:, None, :]
+    b = jnp.sum(oc * d, axis=-1)                             # (N, C)
+    c = jnp.sum(oc * oc, axis=-1) - rad[None] ** 2
+    disc = b * b - c                                         # unit dir => a = 1
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    valid0 = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)
+    valid1 = (disc > 0.0) & (t1 > t_min) & (t1 < t_max)
+    t = jnp.where(valid0, t0, jnp.where(valid1, t1, _BIG))
+
+    # env_sphere always "hits" at the far crossing with inward normal
+    # (env_sphere.h:27-38) — no discriminant test.
+    env = scene.sph_env[c0:c1][None]
+    t = jnp.where(env, jnp.where(t1 > t_min, t1, _BIG), t)
+
+    tb = jnp.min(t, axis=1)                                  # (N,)
+    k = jnp.argmin(t, axis=1)                                # (N,)
+    hit = tb < _BIG
+
+    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=1)[:, 0]
+    cen_b = jnp.take_along_axis(cen, k[:, None, None], axis=1)[:, 0]
+    rad_b = rad[k]
+    p = ray.at(tb)
+    unit = (p - cen_b) / rad_b[:, None]
+    normal = unit
+    flip = scene.sph_flip[c0:c1][k] ^ scene.sph_env[c0:c1][k]
+    normal = jnp.where(flip[:, None], -normal, normal)
+    return Hit(t=jnp.where(hit, tb, _BIG), hit=hit, p=p, normal=normal,
+               uv=_sphere_uv(unit), mat=scene.sph_mat[c0:c1][k])
+
+
+# Per-rect-axis component indices: plane normal axis, and the two in-plane
+# axes (u, v) matching the uv conventions of aarect.h:96-147.
+_RECT_NAXIS = jnp.array([2, 1, 0], jnp.int32)   # xy->z, xz->y, yz->x
+_RECT_UAXIS = jnp.array([0, 0, 1], jnp.int32)   # xy->x, xz->x, yz->y
+_RECT_VAXIS = jnp.array([1, 2, 2], jnp.int32)   # xy->y, xz->z, yz->z
+
+
+def intersect_rects(scene: Scene, ray: Ray, t_min, t_max) -> Hit:
+    """Closest hit among axis-aligned rects (math of ``aarect.h:96-147``)."""
+    n = ray.origin.shape[0]
+    best = Hit.none(n)
+    for c0 in range(0, scene.n_rects, PRIM_CHUNK):
+        c1 = min(c0 + PRIM_CHUNK, scene.n_rects)
+        best = best.closer_of(_rect_chunk(scene, ray, t_min, t_max, c0, c1))
+    return best
+
+
+def _rect_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit:
+    axis = scene.rect_axis[c0:c1]                  # (C,)
+    bounds = scene.rect_bounds[c0:c1]              # (C, 4)
+    kplane = scene.rect_k[c0:c1]                   # (C,)
+    na, ua, va = _RECT_NAXIS[axis], _RECT_UAXIS[axis], _RECT_VAXIS[axis]
+
+    o_n = ray.origin[:, na]                        # (N, C) gather per rect
+    d_n = ray.direction[:, na]
+    t = (kplane[None] - o_n) / jnp.where(jnp.abs(d_n) < 1e-20, 1e-20, d_n)
+    pu = ray.origin[:, ua] + t * ray.direction[:, ua]
+    pv = ray.origin[:, va] + t * ray.direction[:, va]
+    inside = ((pu >= bounds[None, :, 0]) & (pu <= bounds[None, :, 1])
+              & (pv >= bounds[None, :, 2]) & (pv <= bounds[None, :, 3]))
+    valid = inside & (t > t_min) & (t < t_max)
+    t = jnp.where(valid, t, _BIG)
+
+    tb = jnp.min(t, axis=1)
+    k = jnp.argmin(t, axis=1)
+    hit = tb < _BIG
+
+    b = bounds[k]                                   # (N, 4)
+    u = (jnp.take_along_axis(pu, k[:, None], 1)[:, 0] - b[:, 0]) / (b[:, 1] - b[:, 0])
+    v = (jnp.take_along_axis(pv, k[:, None], 1)[:, 0] - b[:, 2]) / (b[:, 3] - b[:, 2])
+    normal = jax.nn.one_hot(_RECT_NAXIS[scene.rect_axis[c0:c1][k]], 3,
+                            dtype=ray.origin.dtype)
+    normal = jnp.where(scene.rect_flip[c0:c1][k][:, None], -normal, normal)
+    return Hit(t=jnp.where(hit, tb, _BIG), hit=hit, p=ray.at(tb),
+               normal=normal, uv=jnp.stack([u, v], axis=-1),
+               mat=scene.rect_mat[c0:c1][k])
+
+
+def _tri_intersect(p0, p1, p2, ray_o, ray_d, t_min, t_max):
+    """Möller–Trumbore over (N, L) triangle gathers (math of
+    ``triangle.h:117-188``, front-face only; meshes here are closed or
+    two-sided handled by the caller via winding).
+
+    Returns (t, u, v, valid) each (N, L).
+    """
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = jnp.cross(ray_d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    # The reference flips T by det sign to accept only front faces with a
+    # positive-det path (triangle.h:136-148); equivalently test both sides
+    # here through |det| and reject backfaces via det sign when needed.
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = ray_o - p0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(ray_d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = ((jnp.abs(det) > 1e-10) & (u >= 0.0) & (v >= 0.0)
+             & (u + v <= 1.0) & (t > t_min) & (t < t_max))
+    return t, u, v, valid
+
+
+def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
+                   leaf_size: int = 4) -> Hit:
+    """Closest triangle hit via stackless skip-link BVH traversal.
+
+    One ``lax.while_loop`` advances every ray's node cursor in lockstep; an
+    iteration does (a) a slab test against the gathered node AABB and (b) for
+    leaf nodes, ``leaf_size`` masked Möller–Trumbore tests. Rays that finish
+    (cursor == n_nodes) idle until all finish — the XLA-level analogue of the
+    wavefront; the Pallas kernel version removes the lockstep.
+    """
+    n = ray.origin.shape[0]
+    if scene.n_tris == 0:
+        return Hit.none(n)
+
+    n_nodes = scene.n_bvh_nodes
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.direction) < 1e-20, 1e-20,
+                            ray.direction)
+
+    def cond(state):
+        cursor, _, _, _, _ = state
+        return jnp.any(cursor < n_nodes)
+
+    def body(state):
+        cursor, t_best, u_best, v_best, i_best = state
+        cur = jnp.minimum(cursor, n_nodes - 1)
+        lo = scene.bvh_lo[cur]                    # (N, 3)
+        hi = scene.bvh_hi[cur]
+        first = scene.bvh_first[cur]              # (N,)
+        count = scene.bvh_count[cur]
+        skip = scene.bvh_skip[cur]
+
+        # Slab test (aabb.h:10-62) against current best t.
+        tt0 = (lo - ray.origin) * inv_d
+        tt1 = (hi - ray.origin) * inv_d
+        tn = jnp.max(jnp.minimum(tt0, tt1), axis=-1)
+        tf = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+        box_hit = (tf >= jnp.maximum(tn, t_min)) & (tn < t_best)
+
+        is_leaf = first >= 0
+        active = cursor < n_nodes
+
+        # Leaf: masked fixed-width triangle tests.
+        for j in range(leaf_size):
+            tri = jnp.clip(first + j, 0, scene.n_tris - 1)
+            lane = active & is_leaf & box_hit & (j < count)
+            t, u, v, valid = _tri_intersect(
+                scene.tri_p0[tri], scene.tri_p1[tri], scene.tri_p2[tri],
+                ray.origin, ray.direction, t_min, t_best)
+            better = lane & valid & (t < t_best)
+            t_best = jnp.where(better, t, t_best)
+            u_best = jnp.where(better, u, u_best)
+            v_best = jnp.where(better, v, v_best)
+            i_best = jnp.where(better, tri, i_best)
+
+        # Advance: internal+hit descends (cursor+1), otherwise skip link.
+        descend = active & box_hit & (~is_leaf)
+        nxt = jnp.where(descend, cursor + 1, skip)
+        cursor = jnp.where(active, nxt, cursor)
+        return cursor, t_best, u_best, v_best, i_best
+
+    init = (jnp.zeros((n,), jnp.int32), jnp.full((n,), _BIG),
+            jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,), jnp.int32))
+    _, t_best, u, v, tri = jax.lax.while_loop(cond, body, init)
+
+    hit = t_best < _BIG
+    w = 1.0 - u - v
+    bary = jnp.stack([w, u, v], axis=-1)                      # (N, 3)
+    uv = jnp.sum(scene.tri_uv[tri] * bary[..., None], axis=1)  # (N, 2)
+    # Smooth normal interpolation, gated like FLAT_NORMAL=1 (triangle.h:179-183
+    # interpolates when the flag is on — the reference default).
+    normal = normalize(jnp.sum(scene.tri_n[tri] * bary[..., None], axis=1))
+    return Hit(t=jnp.where(hit, t_best, _BIG), hit=hit, p=ray.at(t_best),
+               normal=normal, uv=uv, mat=scene.tri_mat[tri])
+
+
+def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG) -> Hit:
+    """Closest hit over every surface primitive family."""
+    n = ray.origin.shape[0]
+    best = Hit.none(n)
+    if scene.n_spheres:
+        best = best.closer_of(intersect_spheres(scene, ray, t_min, t_max))
+    if scene.n_rects:
+        best = best.closer_of(intersect_rects(scene, ray, t_min, t_max))
+    if scene.n_tris:
+        best = best.closer_of(intersect_tris(scene, ray, t_min, t_max))
+    return best

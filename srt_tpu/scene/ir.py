@@ -1,0 +1,152 @@
+"""Scene intermediate representation: flat SoA buffers + integer tags.
+
+This replaces the reference's pointer-chasing virtual-dispatch scene graph
+(``hitable*`` trees with ``material*`` leaves, ``Raytracing_n/hitable.h:27-33``)
+with a fixed set of dense arrays, one per primitive family. Design rules:
+
+* Every per-primitive attribute is a contiguous array ⇒ intersection is a
+  vectorized map over (rays × primitives) or a BVH gather, never a virtual
+  call. Static shapes keep everything jit-compilable and shardable.
+* Instancing (``translate`` / ``rotate_x`` / ``rotate_y``, ``hitable.h:35-203``)
+  is baked into world space at build time — the reference only ever uses
+  static transforms, so carrying a transform tree to the device would buy
+  nothing and cost a matmul per ray.
+* Materials and textures are tables indexed by integer ids; shading evaluates
+  all material models on masked lanes and selects (cheap on the VPU, no
+  divergence), rather than branching per ray.
+* The whole Scene is a pytree of arrays: it can be donated, replicated across
+  a mesh with ``shard_map`` (scene is broadcast, rays are sharded), and
+  differentiated through (gradients flow to centers, colors, emission, ...).
+"""
+from __future__ import annotations
+
+import enum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MaterialType(enum.IntEnum):
+    """Tags for the material table (reference classes in ``material.h``)."""
+    LAMBERTIAN = 0     # material.h:95-114
+    OREN_NAYAR = 1     # material.h:127-149
+    BECKMANN = 2       # material.h:151-199 (anisotropic microfacet)
+    METAL = 3          # material.h:243-261 (mirror + fuzz)
+    DIELECTRIC = 4     # material.h:282-339 (Schlick + refract)
+    DIFFUSE_LIGHT = 5  # material.h:341-356 (one-sided emitter)
+    ISOTROPIC = 6      # material.h:359-369 (volume phase function)
+    MERL = 7           # material.h:201-241 (measured BRDF table)
+
+
+class TextureType(enum.IntEnum):
+    """Tags for the texture table (reference classes in ``texture.h``)."""
+    CONSTANT = 0  # texture.h:25-33
+    CHECKER = 1   # texture.h:9-23 (3-D sine parity of two colors)
+    NOISE = 2     # texture.h:35-46 (marble: 0.5*(1+sin(scale*z+5*turb)))
+    IMAGE = 3     # texture.h:48-70 (nearest-neighbor, y-flip)
+
+
+class LightKind(enum.IntEnum):
+    RECT = 0    # area light sampling, aarect.h:45-60
+    SPHERE = 1  # solid-angle cone sampling, sphere.h:69-86
+
+
+class Scene(NamedTuple):
+    """All-device scene state. Leading dims are static per compiled scene."""
+
+    # --- spheres (static, moving, env-dome; S entries) -------------------
+    sph_center0: jnp.ndarray   # (S, 3) center at time0
+    sph_center1: jnp.ndarray   # (S, 3) center at time1 (== center0 if static)
+    sph_times: jnp.ndarray     # (S, 2) (time0, time1) for the motion lerp
+    sph_radius: jnp.ndarray    # (S,)
+    sph_mat: jnp.ndarray       # (S,) int32 material id
+    sph_flip: jnp.ndarray      # (S,) bool — flip_normals wrapper (aarect.h:149)
+    sph_env: jnp.ndarray       # (S,) bool — env_sphere always-hit variant
+                               #   (env_sphere.h:27-38)
+
+    # --- axis-aligned rects (R entries) ----------------------------------
+    rect_axis: jnp.ndarray     # (R,) int32: 0=xy(z=k) 1=xz(y=k) 2=yz(x=k)
+    rect_bounds: jnp.ndarray   # (R, 4) (a0, a1, b0, b1) in the rect plane
+    rect_k: jnp.ndarray        # (R,) plane offset
+    rect_mat: jnp.ndarray      # (R,) int32
+    rect_flip: jnp.ndarray     # (R,) bool
+
+    # --- triangles, world-space baked (T entries) ------------------------
+    tri_p0: jnp.ndarray        # (T, 3)
+    tri_p1: jnp.ndarray        # (T, 3)
+    tri_p2: jnp.ndarray        # (T, 3)
+    tri_uv: jnp.ndarray        # (T, 3, 2) per-vertex uv
+    tri_n: jnp.ndarray         # (T, 3, 3) per-vertex shading normals
+    tri_mat: jnp.ndarray       # (T,) int32
+
+    # --- flattened stackless BVH over the triangles (B nodes) ------------
+    # Depth-first layout with skip links: on AABB hit descend to node i+1,
+    # on miss (or after a leaf) jump to bvh_skip[i]. Replaces the pointer
+    # tree of bvh.h:9-119 with two gathers per traversal step.
+    bvh_lo: jnp.ndarray        # (B, 3)
+    bvh_hi: jnp.ndarray        # (B, 3)
+    bvh_skip: jnp.ndarray      # (B,) int32 miss/continue link (B = end)
+    bvh_first: jnp.ndarray     # (B,) int32 first triangle of a leaf, -1 internal
+    bvh_count: jnp.ndarray     # (B,) int32 leaf triangle count (<= leaf_size)
+
+    # --- homogeneous participating media with sphere boundaries (M) ------
+    # constant_medium.h:19-50: exponential free-flight inside the boundary.
+    med_center: jnp.ndarray    # (M, 3)
+    med_radius: jnp.ndarray    # (M,)
+    med_density: jnp.ndarray   # (M,)
+    med_mat: jnp.ndarray       # (M,) int32 (an ISOTROPIC material)
+
+    # --- material table (Mt entries) --------------------------------------
+    mat_type: jnp.ndarray      # (Mt,) int32 MaterialType
+    mat_tex: jnp.ndarray       # (Mt,) int32 albedo/emission texture id
+    mat_params: jnp.ndarray    # (Mt, 4) f32:
+                               #  OREN_NAYAR: (A, B, 0, 0) precomputed
+                               #  BECKMANN:   (alphax, alphay, 0, 0)
+                               #  METAL:      (fuzz, 0, 0, 0)
+                               #  DIELECTRIC: (ref_idx, 0, 0, 0)
+                               #  MERL:       (table_id, 0, 0, 0)
+
+    # --- texture table (Tx entries) ---------------------------------------
+    tex_type: jnp.ndarray      # (Tx,) int32 TextureType
+    tex_color: jnp.ndarray     # (Tx, 3) constant / checker even color
+    tex_color2: jnp.ndarray    # (Tx, 3) checker odd color
+    tex_scale: jnp.ndarray     # (Tx,) noise scale
+    tex_img: jnp.ndarray       # (Tx, 3) int32 (atlas offset, nx, ny)
+
+    # --- image atlas: all image textures flattened rgb f32 ----------------
+    atlas: jnp.ndarray         # (A,) f32 (3 floats per texel, row-major)
+
+    # --- Perlin tables (perlin.h:28-97), fixed-seed host generated --------
+    perlin_vec: jnp.ndarray    # (256, 3) random unit gradients
+    perlin_perm: jnp.ndarray   # (3, 256) int32 permutations (x, y, z)
+
+    # --- measured MERL BRDF tables (brdf.h:63-214) ------------------------
+    merl: jnp.ndarray          # (Nm, 3, 90*90*180/2...) f32, possibly (0, 3, n)
+
+    # --- light list for NEE (the reference's hlist) -----------------------
+    light_kind: jnp.ndarray    # (L,) int32 LightKind
+    light_index: jnp.ndarray   # (L,) int32 index into rects / spheres
+
+    @property
+    def n_spheres(self) -> int:
+        return self.sph_radius.shape[0]
+
+    @property
+    def n_rects(self) -> int:
+        return self.rect_k.shape[0]
+
+    @property
+    def n_tris(self) -> int:
+        return self.tri_p0.shape[0]
+
+    @property
+    def n_bvh_nodes(self) -> int:
+        return self.bvh_skip.shape[0]
+
+    @property
+    def n_media(self) -> int:
+        return self.med_radius.shape[0]
+
+    @property
+    def n_lights(self) -> int:
+        return self.light_kind.shape[0]
