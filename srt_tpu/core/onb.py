@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from srt_tpu.core.vecmath import cross, dot, normalize, where3
 
@@ -22,8 +23,8 @@ class OrthonormalBasis(NamedTuple):
     def from_w(n):
         w = normalize(n)
         a = where3(jnp.abs(w[..., 0]) > 0.9,
-                   jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), w.shape),
-                   jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), w.shape))
+                   jnp.broadcast_to(np.array([0.0, 1.0, 0.0], np.float32), w.shape),
+                   jnp.broadcast_to(np.array([1.0, 0.0, 0.0], np.float32), w.shape))
         v = normalize(cross(w, a))
         u = cross(w, v)
         return OrthonormalBasis(u=u, v=v, w=w)

@@ -9,6 +9,7 @@ divergent per-ray dispatch (the reference virtual-dispatches per hit,
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from srt_tpu.scene.ir import Scene, TextureType
 
@@ -26,7 +27,7 @@ def perlin_noise(scene: Scene, p):
     s = uvw * uvw * (3.0 - 2.0 * uvw)         # hermite per axis (N, 3)
 
     perm = scene.perlin_perm                  # (3, 256)
-    acc = jnp.zeros(p.shape[:-1], p.dtype)
+    acc = jnp.zeros_like(p[..., 0])
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
@@ -34,7 +35,7 @@ def perlin_noise(scene: Scene, p):
                 hy = perm[1, (ijk[..., 1] + dj) & 255]
                 hz = perm[2, (ijk[..., 2] + dk) & 255]
                 g = scene.perlin_vec[hx ^ hy ^ hz]          # (N, 3)
-                weight = uvw - jnp.array([di, dj, dk], p.dtype)
+                weight = uvw - np.array([di, dj, dk], np.float32)
                 corner = jnp.sum(g * weight, axis=-1)
                 wx = s[..., 0] if di else (1.0 - s[..., 0])
                 wy = s[..., 1] if dj else (1.0 - s[..., 1])
@@ -45,7 +46,7 @@ def perlin_noise(scene: Scene, p):
 
 def perlin_turb(scene: Scene, p, depth: int = 7):
     """fbm turbulence (``perlin.h:48-58``)."""
-    acc = jnp.zeros(p.shape[:-1], p.dtype)
+    acc = jnp.zeros_like(p[..., 0])
     weight = 1.0
     q = p
     for _ in range(depth):
@@ -64,7 +65,7 @@ def _image_value(scene: Scene, tex_id, u, v):
                  0, ny - 1)
     base = off + 3 * (i + nx * j)
     if scene.atlas.shape[0] == 0:
-        return jnp.ones(u.shape + (3,), u.dtype)
+        return jnp.ones_like(u)[..., None] * np.ones(3, np.float32)
     base = jnp.clip(base, 0, scene.atlas.shape[0] - 3)
     return jnp.stack([scene.atlas[base], scene.atlas[base + 1],
                       scene.atlas[base + 2]], axis=-1)
@@ -90,7 +91,7 @@ def texture_value(scene: Scene, tex_id, uv, p):
     except Exception:
         need_noise = True  # table is traced — evaluate unconditionally
     sp = scale * p
-    turb = perlin_turb(scene, sp) if need_noise else jnp.zeros(p.shape[:-1], p.dtype)
+    turb = perlin_turb(scene, sp) if need_noise else jnp.zeros_like(p[..., 0])
     marble = (0.5 * (1.0 + jnp.sin(scale[..., 0] * p[..., 2] + 5.0 * turb))
               )[..., None] * jnp.ones_like(color)
 

@@ -56,7 +56,7 @@ def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
     """
     p = pixel_ids.shape[0]
     pix = jnp.repeat(pixel_ids, n_samples)                    # (P*S,)
-    samp = sample0 + jnp.tile(jnp.arange(n_samples), p)       # (P*S,)
+    samp = sample0 + jnp.tile(np.arange(n_samples, dtype=np.int32), p)       # (P*S,)
 
     col = (pix % width).astype(jnp.float32)
     row = (pix // width).astype(jnp.float32)
@@ -118,7 +118,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
 
 
 def _rng_jitter(spp: int, seed: int):
-    s = jnp.arange(spp, dtype=jnp.uint32)
+    s = np.arange(spp, dtype=np.uint32)
     return jnp.stack([
         bits_to_uniform(hash_combine(s, jnp.uint32(seed * 2 + 101))),
         bits_to_uniform(hash_combine(s, jnp.uint32(seed * 2 + 102)))], axis=-1)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from srt_tpu.core.ray import Ray
 from srt_tpu.core.rng import RaySampler
@@ -62,9 +63,9 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
 
         med_hit = Hit(
             t=t_sc, hit=scatters, p=ray.at(t_sc),
-            normal=jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]),
+            normal=jnp.broadcast_to(np.array([1.0, 0.0, 0.0], np.float32),
                                     ray.origin.shape),
-            uv=jnp.zeros(ray.origin.shape[:-1] + (2,)),
+            uv=np.zeros(ray.origin.shape[:-1] + (2,), np.float32),
             mat=jnp.full(ray.origin.shape[:-1], scene.med_mat[m], jnp.int32))
         hit = hit.closer_of(med_hit)
     return hit
@@ -81,8 +82,8 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
     n = ray.origin.shape[0]
     state = dict(
         o=ray.origin, d=ray.direction, time=ray.time,
-        beta=jnp.ones((n, 3)), radiance=jnp.zeros((n, 3)),
-        alive=jnp.ones((n,), bool),
+        beta=np.ones((n, 3), np.float32), radiance=np.zeros((n, 3), np.float32),
+        alive=np.ones((n,), bool),
     )
 
     def bounce(state, depth):
@@ -158,6 +159,6 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
         )
         return state, None
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    state, _ = jax.lax.scan(bounce, state, np.arange(max_depth, dtype=np.int32))
     # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — but count upstream.
     return de_nan(state["radiance"])

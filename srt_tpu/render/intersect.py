@@ -20,12 +20,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from srt_tpu.core.ray import Ray
 from srt_tpu.core.vecmath import cross, dot, normalize
 from srt_tpu.scene.ir import Scene
 
-_BIG = jnp.float32(3.0e38)
+_BIG = np.float32(3.0e38)
 PRIM_CHUNK = 32  # static prims per vectorized brute-force block
 
 
@@ -40,9 +41,12 @@ class Hit(NamedTuple):
 
     @staticmethod
     def none(n: int) -> "Hit":
-        return Hit(t=jnp.full((n,), _BIG), hit=jnp.zeros((n,), bool),
-                   p=jnp.zeros((n, 3)), normal=jnp.zeros((n, 3)),
-                   uv=jnp.zeros((n, 2)), mat=jnp.zeros((n,), jnp.int32))
+        return Hit(t=np.full((n,), _BIG, np.float32),
+                   hit=np.zeros((n,), bool),
+                   p=np.zeros((n, 3), np.float32),
+                   normal=np.zeros((n, 3), np.float32),
+                   uv=np.zeros((n, 2), np.float32),
+                   mat=np.zeros((n,), np.int32))
 
     def closer_of(self, other: "Hit") -> "Hit":
         take = other.hit & (other.t < self.t)
@@ -128,9 +132,9 @@ def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit
 
 # Per-rect-axis component indices: plane normal axis, and the two in-plane
 # axes (u, v) matching the uv conventions of aarect.h:96-147.
-_RECT_NAXIS = jnp.array([2, 1, 0], jnp.int32)   # xy->z, xz->y, yz->x
-_RECT_UAXIS = jnp.array([0, 0, 1], jnp.int32)   # xy->x, xz->x, yz->y
-_RECT_VAXIS = jnp.array([1, 2, 2], jnp.int32)   # xy->y, xz->z, yz->z
+_RECT_NAXIS = np.array([2, 1, 0], np.int32)   # xy->z, xz->y, yz->x
+_RECT_UAXIS = np.array([0, 0, 1], np.int32)   # xy->x, xz->x, yz->y
+_RECT_VAXIS = np.array([1, 2, 2], np.int32)   # xy->y, xz->z, yz->z
 
 
 def intersect_rects(scene: Scene, ray: Ray, t_min, t_max) -> Hit:
@@ -147,7 +151,9 @@ def _rect_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit:
     axis = scene.rect_axis[c0:c1]                  # (C,)
     bounds = scene.rect_bounds[c0:c1]              # (C, 4)
     kplane = scene.rect_k[c0:c1]                   # (C,)
-    na, ua, va = _RECT_NAXIS[axis], _RECT_UAXIS[axis], _RECT_VAXIS[axis]
+    na = jnp.take(_RECT_NAXIS, axis)
+    ua = jnp.take(_RECT_UAXIS, axis)
+    va = jnp.take(_RECT_VAXIS, axis)
 
     o_n = ray.origin[:, na]                        # (N, C) gather per rect
     d_n = ray.direction[:, na]
@@ -166,7 +172,7 @@ def _rect_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit:
     b = bounds[k]                                   # (N, 4)
     u = (jnp.take_along_axis(pu, k[:, None], 1)[:, 0] - b[:, 0]) / (b[:, 1] - b[:, 0])
     v = (jnp.take_along_axis(pv, k[:, None], 1)[:, 0] - b[:, 2]) / (b[:, 3] - b[:, 2])
-    normal = jax.nn.one_hot(_RECT_NAXIS[scene.rect_axis[c0:c1][k]], 3,
+    normal = jax.nn.one_hot(jnp.take(_RECT_NAXIS, scene.rect_axis[c0:c1][k]), 3,
                             dtype=ray.origin.dtype)
     normal = jnp.where(scene.rect_flip[c0:c1][k][:, None], -normal, normal)
     return Hit(t=jnp.where(hit, tb, _BIG), hit=hit, p=ray.at(tb),
@@ -259,8 +265,9 @@ def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
         cursor = jnp.where(active, nxt, cursor)
         return cursor, t_best, u_best, v_best, i_best
 
-    init = (jnp.zeros((n,), jnp.int32), jnp.full((n,), _BIG),
-            jnp.zeros((n,)), jnp.zeros((n,)), jnp.zeros((n,), jnp.int32))
+    init = (np.zeros((n,), np.int32), np.full((n,), _BIG, np.float32),
+            np.zeros((n,), np.float32), np.zeros((n,), np.float32),
+            np.zeros((n,), np.int32))
     _, t_best, u, v, tri = jax.lax.while_loop(cond, body, init)
 
     hit = t_best < _BIG

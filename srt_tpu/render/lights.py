@@ -24,7 +24,9 @@ def _rect_sample(scene: Scene, ridx: int, p, u1, u2):
     axis = scene.rect_axis[ridx]
     pu = b[0] + u1 * (b[1] - b[0])
     pv = b[2] + u2 * (b[3] - b[2])
-    na, ua, va = _RECT_NAXIS[axis], _RECT_UAXIS[axis], _RECT_VAXIS[axis]
+    na = jnp.take(_RECT_NAXIS, axis)
+    ua = jnp.take(_RECT_UAXIS, axis)
+    va = jnp.take(_RECT_VAXIS, axis)
     point = (jnp.zeros_like(p)
              .at[..., na].set(k)
              .at[..., ua].set(pu)
@@ -37,7 +39,9 @@ def _rect_pdf(scene: Scene, ridx: int, p, wi):
     b = scene.rect_bounds[ridx]
     k = scene.rect_k[ridx]
     axis = scene.rect_axis[ridx]
-    na, ua, va = _RECT_NAXIS[axis], _RECT_UAXIS[axis], _RECT_VAXIS[axis]
+    na = jnp.take(_RECT_NAXIS, axis)
+    ua = jnp.take(_RECT_UAXIS, axis)
+    va = jnp.take(_RECT_VAXIS, axis)
     d_n = wi[..., na]
     t = (k - p[..., na]) / jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n)
     hu = p[..., ua] + t * wi[..., ua]
@@ -112,8 +116,8 @@ def lights_pdf(scene: Scene, p, wi):
     (``hitable_list::pdf_value``, ``hitable_list.h:54-62``)."""
     n_lights = scene.n_lights
     if n_lights == 0:
-        return jnp.zeros(p.shape[:-1], p.dtype)
-    acc = jnp.zeros(p.shape[:-1], p.dtype)
+        return jnp.zeros_like(p[..., 0])
+    acc = jnp.zeros_like(p[..., 0])
     for li in range(n_lights):
         kind = scene.light_kind[li]
         idx = scene.light_index[li]
