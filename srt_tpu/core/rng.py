@@ -34,10 +34,14 @@ def _mix(x):
 
 
 def hash_combine(a, b):
-    """Combine two uint32 words into a well-mixed uint32."""
+    """Combine two uint32 words into a well-mixed uint32.
+
+    ``_mix`` is a bijection, so for fixed ``b`` this is collision-free in
+    ``a`` (important: pixel ids must map to distinct streams).
+    """
     a = jnp.asarray(a, _U32)
     b = jnp.asarray(b, _U32)
-    return _mix(a ^ (b + _U32(0x9E3779B9) + (a << 6) + (a >> 2)))
+    return _mix(_mix(a) + (b ^ _U32(0x9E3779B9)))
 
 
 def bits_to_uniform(bits):

@@ -122,8 +122,9 @@ def sobol_points(n: int, d: int, dir_file: str | None = None,
                 f"direction-number file (dir_file=...)")
         rows = load_direction_numbers(dir_file, max_dim=d)
 
-    # Per-dimension direction vectors; dim 0 is van der Corput (all m = 1).
-    Vs = [_direction_vectors(L, 1, 0, [1] * L)]
+    # Per-dimension direction vectors; dim 0 is van der Corput: every
+    # V[i] = 1 << (32-i), i.e. all m_i = 1 with no recursion (s = L).
+    Vs = [_direction_vectors(L, L, 0, [1] * L)]
     for j in range(1, d):
         _, s, a, m = rows[j - 1]
         Vs.append(_direction_vectors(L, s, a, m))

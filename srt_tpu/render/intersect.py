@@ -94,7 +94,7 @@ def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit
     # Motion lerp (moving_sphere.h:19-21); static spheres have cen1 == cen0.
     dt = jnp.clip((ray.time[:, None] - times[None, :, 0])
                   / jnp.maximum(times[None, :, 1] - times[None, :, 0], 1e-20),
-                  a_min=None, a_max=None)
+                  min=None, max=None)
     cen = cen0[None] + dt[..., None] * (cen1 - cen0)[None]  # (N, C, 3)
 
     oc = ray.origin[:, None, :] - cen                        # (N, C, 3)

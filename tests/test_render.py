@@ -1,0 +1,133 @@
+"""Integration tests: furnace test, Cornell smoke render, NEE consistency
+(SURVEY §4 'Integration'). Runs on CPU devices at tiny sizes."""
+import numpy as np
+import jax.numpy as jnp
+
+from srt_tpu import render, RenderConfig
+from srt_tpu.render.camera import Camera
+from srt_tpu.scene.build import SceneBuilder
+
+
+def _furnace_scene(albedo):
+    """Lambertian sphere enclosed in a unit-radiance emitting env dome."""
+    b = SceneBuilder()
+    m = b.lambertian(b.constant((albedo,) * 3))
+    b.sphere((0, 0, 0), 1.0, m)
+    b.sphere((0, 0, 0), 50.0, b.diffuse_light(b.constant((1.0, 1.0, 1.0))),
+             env=True)
+    return b.build()
+
+
+def test_furnace_unbiased():
+    """Furnace test: a convex Lambertian sphere in a uniform unit-radiance
+    dome reflects exactly ``albedo`` (no self-interreflection on a convex
+    body), and with albedo 1 it becomes invisible. The reference cannot run
+    this (its env 'sky' needs a texture file); it validates the estimator is
+    unbiased end-to-end.
+    """
+    for albedo in (0.6, 1.0):
+        scene = _furnace_scene(albedo)
+        cam = Camera.look_at(lookfrom=(0, 0, 3), lookat=(0, 0, 0), vfov=30.0,
+                             aspect=1.0)
+        cfg = RenderConfig(width=24, height=24, spp=64, max_depth=8,
+                           sample_chunk=64)
+        img = np.asarray(render(scene, cam, cfg))
+        # Center pixels view the sphere head-on.
+        center = img[8:16, 8:16].mean()
+        assert abs(center - albedo) / albedo < 0.03, (center, albedo)
+
+
+def _cornell(light_power=15.0):
+    b = SceneBuilder()
+    red = b.lambertian(b.constant((0.65, 0.05, 0.05)))
+    white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+    green = b.lambertian(b.constant((0.12, 0.45, 0.15)))
+    light = b.diffuse_light(b.constant((light_power,) * 3))
+    b.yz_rect(0, 555, 0, 555, 555, green, flip=True)
+    b.yz_rect(0, 555, 0, 555, 0, red)
+    lid = b.xz_rect(213, 343, 227, 332, 554, light, flip=True)
+    b.xz_rect(0, 555, 0, 555, 555, white, flip=True)
+    b.xz_rect(0, 555, 0, 555, 0, white)
+    b.xy_rect(0, 555, 0, 555, 555, white, flip=True)
+    b.light_rect(lid)
+    cam = Camera.look_at(lookfrom=(278, 278, -800), lookat=(278, 278, 0),
+                         vfov=40.0, aspect=1.0)
+    return b.build(), cam
+
+
+def test_cornell_smoke():
+    scene, cam = _cornell()
+    img = np.asarray(render(scene, cam,
+                            RenderConfig(width=32, height=32, spp=16,
+                                         max_depth=6, sample_chunk=16)))
+    assert img.shape == (32, 32, 3)
+    assert not np.isnan(img).any()
+    assert img.mean() > 0.02
+    # Left third greener than right third; right third redder.
+    left = img[:, :10].mean(axis=(0, 1))
+    right = img[:, -10:].mean(axis=(0, 1))
+    assert left[1] > left[0] and right[0] > right[1]
+
+
+def test_nee_vs_bsdf_only_agree():
+    """With and without light registration the estimator must converge to the
+    same value (NEE is variance reduction, not a different integral)."""
+    def build(register_light):
+        b = SceneBuilder()
+        white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+        light = b.diffuse_light(b.constant((8.0, 8.0, 8.0)))
+        b.xz_rect(-50, 50, -50, 50, 0, white)            # floor
+        lid = b.xz_rect(-15, 15, -15, 15, 30, light, flip=True)  # big light
+        if register_light:
+            b.light_rect(lid)
+        return b.build()
+
+    cam = Camera.look_at(lookfrom=(0, 10, 40), lookat=(0, 5, 0), vfov=40.0,
+                         aspect=1.0)
+    cfg = RenderConfig(width=24, height=24, spp=256, max_depth=4,
+                       sample_chunk=128, seed=1)
+    a = np.asarray(render(build(True), cam, cfg)).mean()
+    b = np.asarray(render(build(False), cam, cfg)).mean()
+    assert abs(a - b) / max(a, b) < 0.08, (a, b)
+
+
+def test_seed_determinism():
+    scene, cam = _cornell()
+    cfg = RenderConfig(width=16, height=16, spp=8, max_depth=4)
+    i1 = np.asarray(render(scene, cam, cfg))
+    i2 = np.asarray(render(scene, cam, cfg))
+    assert np.array_equal(i1, i2)
+    i3 = np.asarray(render(scene, cam,
+                           RenderConfig(width=16, height=16, spp=8,
+                                        max_depth=4, seed=9)))
+    assert not np.array_equal(i1, i3)
+
+
+def test_pixel_chunking_invariant():
+    """Image must not depend on host-side pixel/sample chunk sizes."""
+    scene, cam = _cornell()
+    a = np.asarray(render(scene, cam, RenderConfig(
+        width=16, height=16, spp=8, max_depth=4, pixel_chunk=64,
+        sample_chunk=4)))
+    b = np.asarray(render(scene, cam, RenderConfig(
+        width=16, height=16, spp=8, max_depth=4, pixel_chunk=1 << 16,
+        sample_chunk=8)))
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_medium_attenuates():
+    """A fog sphere in front of a light dims it vs the clear scene."""
+    def build(with_fog):
+        b = SceneBuilder()
+        lid = b.xy_rect(-5, 5, -5, 5, -20, b.diffuse_light(b.constant((4, 4, 4))))
+        if with_fog:
+            b.medium_sphere((0, 0, -10), 4.0, 0.5, b.constant((0.2, 0.2, 0.2)))
+        b.light_rect(lid)
+        return b.build()
+    cam = Camera.look_at(lookfrom=(0, 0, 0), lookat=(0, 0, -1), vfov=40.0,
+                         aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, spp=64, max_depth=6,
+                       sample_chunk=64)
+    clear = np.asarray(render(build(False), cam, cfg)).mean()
+    foggy = np.asarray(render(build(True), cam, cfg)).mean()
+    assert foggy < clear * 0.8, (foggy, clear)
