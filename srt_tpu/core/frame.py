@@ -30,7 +30,11 @@ def sin_theta(w):
 
 
 def tan_theta(w):
-    return sin_theta(w) / cos_theta(w)
+    """Sign-preserving, finite-safe tan (grazing angles clamp to ±1e8 so the
+    backward pass never sees inf)."""
+    c = cos_theta(w)
+    safe = jnp.where(jnp.abs(c) < 1e-8, jnp.sign(c) * 1e-8 + 1e-20, c)
+    return sin_theta(w) / safe
 
 
 def tan2_theta(w):

@@ -54,8 +54,12 @@ def refract_dir(v, n, ni_over_nt):
     dt = dot(uv, n)
     disc = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
     ok = disc > 0.0
+    # Double-where: sqrt has an infinite derivative at 0, which would turn
+    # masked-out TIR lanes into NaN gradients for the IOR.
+    disc_safe = jnp.where(ok, disc, 1.0)
     refracted = (ni_over_nt[..., None] * (uv - n * dt[..., None])
-                 - n * jnp.sqrt(jnp.maximum(disc, 0.0))[..., None])
+                 - n * jnp.sqrt(disc_safe)[..., None])
+    refracted = where3(ok, refracted, jnp.zeros_like(refracted))
     return refracted, ok
 
 

@@ -107,7 +107,9 @@ def scatter_specular(scene: Scene, mat_id, p, normal, uv, ray_dir, u4):
                           * _uniform_in_sphere(u4[..., 0], u4[..., 1], u4[..., 2]))
 
     # DIELECTRIC (material.h:282-324): one-sided Schlick + refraction.
-    ref_idx = params[..., 0]
+    # Clamped: non-dielectric lanes read garbage params, and ref_idx=0
+    # would put 1/0=inf in the graph and NaN the backward pass.
+    ref_idx = jnp.maximum(params[..., 0], 1e-2)
     going_out = dot(ray_dir, normal) > 0.0
     outward_n = where3(going_out, -normal, normal)
     ni_over_nt = jnp.where(going_out, ref_idx, 1.0 / ref_idx)
@@ -153,9 +155,13 @@ def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2):
     cos_dir = jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq,
                          jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))], axis=-1)
 
-    # Beckmann: VNDF wh then reflect.
+    # Beckmann: VNDF wh then reflect. Alphas clamped: lanes whose material
+    # is not Beckmann read garbage params (e.g. a light's zeros), and
+    # alpha=0 creates inf partials that would NaN the backward pass.
     wo = basis.to_local(-ray_dir)
-    wh = sample_wh_visible(wo, params[..., 0], params[..., 1], u1, u2)
+    ax = jnp.maximum(params[..., 0], 1e-4)
+    ay = jnp.maximum(params[..., 1], 1e-4)
+    wh = sample_wh_visible(wo, ax, ay, u1, u2)
     beck_wi = frame.local_reflect(wo, wh)
 
     wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
@@ -173,7 +179,9 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world):
     cos_pdf = jnp.maximum(wi[..., 2], 0.0) * _INV_PI
 
     wh = normalize(wi + wo)
-    beck = pdf_wh_visible(wo, wh, params[..., 0], params[..., 1]) \
+    ax = jnp.maximum(params[..., 0], 1e-4)
+    ay = jnp.maximum(params[..., 1], 1e-4)
+    beck = pdf_wh_visible(wo, wh, ax, ay) \
         / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-8)
     beck = jnp.where(frame.same_hemisphere(wo, wi), beck, 0.0)
 
@@ -209,7 +217,8 @@ def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world):
 
     # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
     wh = normalize(wi + wo)
-    ax, ay = params[..., 0], params[..., 1]
+    ax = jnp.maximum(params[..., 0], 1e-4)
+    ay = jnp.maximum(params[..., 1], 1e-4)
     w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
               / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
     w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)

@@ -36,8 +36,13 @@ def beckmann_lambda(w, alphax, alphay):
     alpha = jnp.sqrt(frame.cos2_phi(w) * alphax * alphax
                      + frame.sin2_phi(w) * alphay * alphay)
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
-    lam = (1.0 - 1.259 * a + 0.396 * a * a) / (3.535 * a + 2.181 * a * a)
-    lam = jnp.where((a > 1.6) | ~jnp.isfinite(abs_tan), 0.0, lam)
+    # Evaluate the rational fit on a clamped argument (double-where): the
+    # raw value at a->0 diverges and would poison gradients even on lanes
+    # the outer where discards.
+    a_safe = jnp.clip(a, 1e-4, 1.6)
+    lam = ((1.0 - 1.259 * a_safe + 0.396 * a_safe * a_safe)
+           / (3.535 * a_safe + 2.181 * a_safe * a_safe))
+    lam = jnp.where(a > 1.6, 0.0, lam)
     return lam
 
 
@@ -71,7 +76,7 @@ def _beckmann_sample11(cos_theta_i, u1, u2):
     c = jax.scipy.special.erf(cos_t)
     sample_x = u1
 
-    theta_i = jnp.arccos(cos_t)
+    theta_i = jnp.arccos(jnp.clip(cos_t, -0.999999, 0.999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
     b = c - (1.0 + c) * jnp.power(1.0 - sample_x, fit)
 

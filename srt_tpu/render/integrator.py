@@ -96,6 +96,15 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
         hit = intersect_scene(scene, r, 1e-3, _BIG)
         if scene.n_media:
             hit = _apply_media(scene, r, s, hit)
+        # Sanitize miss lanes before shading: a zero normal (degenerate
+        # ONB) or far-plane position would create inf/NaN *intermediates*
+        # whose backward partials poison gradients even under masking.
+        up = jnp.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32),
+                              hit.normal.shape)
+        hit = hit._replace(
+            p=where3(hit.hit, hit.p, r.origin),
+            normal=where3(hit.hit & (jnp.sum(hit.normal * hit.normal, -1)
+                                     > 1e-12), hit.normal, up))
 
         # Emission (added whether or not the path continues,
         # Raytracing_n.cpp:61,94,99).
@@ -115,11 +124,17 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
         # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
         u1 = s.uniform(_DIM_SAMPLE)
         u2 = s.uniform(_DIM_SAMPLE + 1)
-        bsdf_dir = mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction,
-                                    u1, u2)
+        # Detached sampling: gradients flow through the integrand
+        # (weight/pdf below), not through the sampled directions — the
+        # standard detached MIS estimator for differentiable MC rendering,
+        # and it keeps the Beckmann inverse-CDF (arccos/erfinv chains) out
+        # of the backward graph.
+        bsdf_dir = jax.lax.stop_gradient(
+            mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2))
         if scene.n_lights:
-            light_dir = lights.sample_lights(scene, hit.p,
-                                             s.uniform(_DIM_LIGHT_PICK), u1, u2)
+            light_dir = jax.lax.stop_gradient(
+                lights.sample_lights(scene, hit.p,
+                                     s.uniform(_DIM_LIGHT_PICK), u1, u2))
             pick_light = s.uniform(_DIM_MIX) < 0.5
             wi = where3(pick_light, light_dir, bsdf_dir)
             pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)

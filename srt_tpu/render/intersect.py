@@ -27,6 +27,7 @@ from srt_tpu.core.vecmath import cross, dot, normalize
 from srt_tpu.scene.ir import Scene
 
 _BIG = np.float32(3.0e38)
+_T_POS_MAX = np.float32(1.0e7)  # position-eval clamp; see miss-lane inf note
 PRIM_CHUNK = 32  # static prims per vectorized brute-force block
 
 
@@ -118,10 +119,12 @@ def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit
     k = jnp.argmin(t, axis=1)                                # (N,)
     hit = tb < _BIG
 
-    take = lambda a: jnp.take_along_axis(a, k[:, None], axis=1)[:, 0]
     cen_b = jnp.take_along_axis(cen, k[:, None, None], axis=1)[:, 0]
     rad_b = rad[k]
-    p = ray.at(tb)
+    # Clamp the position-evaluation t: origin + _BIG*dir overflows f32 to
+    # inf on miss lanes, and inf intermediates turn the backward pass into
+    # NaN (0 * inf) even where the output is masked.
+    p = ray.at(jnp.minimum(tb, _T_POS_MAX))
     unit = (p - cen_b) / rad_b[:, None]
     normal = unit
     flip = scene.sph_flip[c0:c1][k] ^ scene.sph_env[c0:c1][k]
@@ -175,7 +178,8 @@ def _rect_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit:
     normal = jax.nn.one_hot(jnp.take(_RECT_NAXIS, scene.rect_axis[c0:c1][k]), 3,
                             dtype=ray.origin.dtype)
     normal = jnp.where(scene.rect_flip[c0:c1][k][:, None], -normal, normal)
-    return Hit(t=jnp.where(hit, tb, _BIG), hit=hit, p=ray.at(tb),
+    return Hit(t=jnp.where(hit, tb, _BIG), hit=hit,
+               p=ray.at(jnp.minimum(tb, _T_POS_MAX)),
                normal=normal, uv=jnp.stack([u, v], axis=-1),
                mat=scene.rect_mat[c0:c1][k])
 
@@ -277,7 +281,8 @@ def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
     # Smooth normal interpolation, gated like FLAT_NORMAL=1 (triangle.h:179-183
     # interpolates when the flag is on — the reference default).
     normal = normalize(jnp.sum(scene.tri_n[tri] * bary[..., None], axis=1))
-    return Hit(t=jnp.where(hit, t_best, _BIG), hit=hit, p=ray.at(t_best),
+    return Hit(t=jnp.where(hit, t_best, _BIG), hit=hit,
+               p=ray.at(jnp.minimum(t_best, _T_POS_MAX)),
                normal=normal, uv=uv, mat=scene.tri_mat[tri])
 
 
