@@ -1,0 +1,118 @@
+"""Benchmark harness: prints ONE JSON line with rays/s vs the reference.
+
+Headline metric: primary rays per second on the reference's own default
+workload — the ``ball_scenes`` scene it ships as ``sceneid = 2``
+(``Raytracing_n.cpp:43``) at reference depth (maxDepth 50,
+``Raytracing_n.cpp:42``). ``vs_baseline`` compares against the reference
+C++ renderer compiled from the mirrored sources and timed on this machine
+(see ``BASELINE_MEASURED.json``; the upstream repo publishes no numbers).
+
+Usage: ``python bench.py [--scene ball_scenes] [--width 512] [--spp 16]``.
+All diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF = {"primary_rays_per_sec": 935137}  # BASELINE_MEASURED.json
+try:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_MEASURED.json")) as f:
+        REF = json.load(f)
+except Exception:
+    pass
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="ball_scenes")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=0, help="0 = square")
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--max-depth", type=int, default=50,
+                    help="reference parity: maxDepth 50")
+    ap.add_argument("--min-seconds", type=float, default=3.0)
+    ap.add_argument("--sample-chunk", type=int, default=8)
+    args = ap.parse_args()
+    height = args.height or args.width
+
+    warnings.simplefilter("ignore")
+    import jax
+    import numpy as np
+
+    from srt_tpu import RenderConfig, render
+    from srt_tpu.scene.library import get_scene
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} / {dev.device_kind}")
+
+    scene_name = args.scene
+    try:
+        scene, camera, info = get_scene(scene_name, aspect=args.width / height)
+    except Exception as e:  # asset-free fallback
+        log(f"scene {scene_name!r} failed ({e}); falling back to cornell_boxes")
+        scene_name = "cornell_boxes"
+        scene, camera, info = get_scene(scene_name,
+                                        aspect=args.width / height)
+
+    config = RenderConfig(width=args.width, height=height, spp=args.spp,
+                          max_depth=args.max_depth,
+                          rr_start=1 << 30,  # reference parity: no roulette
+                          sample_chunk=args.sample_chunk,
+                          pixel_chunk=1 << 20)
+
+    # Warmup: compile + one full run.
+    t0 = time.time()
+    img = render(scene, camera, config)
+    img.block_until_ready()
+    warm_s = time.time() - t0
+    log(f"warmup (compile + render): {warm_s:.1f}s")
+
+    # Timed: repeat full renders until min-seconds of wall time.
+    reps, total = 0, 0.0
+    while total < args.min_seconds:
+        cfg = RenderConfig(**{**config.__dict__, "seed": reps + 1})
+        t0 = time.time()
+        img = render(scene, camera, cfg)
+        img.block_until_ready()
+        dt = time.time() - t0
+        total += dt
+        reps += 1
+        log(f"rep {reps}: {dt:.2f}s")
+    img_np = np.asarray(img)
+    nan = int(np.isnan(img_np).sum())
+    log(f"{reps} rep(s), {total:.2f}s total, mean={img_np.mean():.4f}, "
+        f"nan={nan}")
+
+    primary = args.width * height * args.spp
+    rays_per_sec = primary * reps / total
+    ref_rps = float(REF.get("primary_rays_per_sec", 935137))
+    result = {
+        "metric": "primary_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / ref_rps, 3),
+        "baseline_rays_per_sec": ref_rps,
+        "scene": scene_name,
+        "config": {"width": args.width, "height": height, "spp": args.spp,
+                   "max_depth": args.max_depth, "reps": reps},
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "wall_s": round(total, 3),
+        "nan_pixels": nan,
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Command-line renderer: ``python -m srt_tpu.cli --scene cornell ...``.
+
+Replaces the reference's recompile-to-configure globals
+(``Raytracing_n.cpp:33-45``: resolution/spp/depth/sceneid are compile-time
+constants and the output path is a hardcoded ``ofstream``) with a proper
+CLI over the scene library. Writes the reference-compatible ASCII ``P3``
+PPM (``Raytracing_n.cpp:886``) or PNG, picked by the output extension.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+import warnings
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="srt_tpu", description="TPU-native path tracer")
+    ap.add_argument("--scene", default="cornell_boxes",
+                    help="scene name or alias (see --list-scenes)")
+    ap.add_argument("--list-scenes", action="store_true")
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=0, help="default: square")
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--max-depth", type=int, default=16)
+    ap.add_argument("--rr-start", type=int, default=1 << 30,
+                    help="bounce index where Russian roulette starts "
+                         "(default: off, reference parity)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="out.png", help=".png or .ppm")
+    ap.add_argument("--max-tex", type=int, default=None,
+                    help="downsample image textures to <= N px")
+    ap.add_argument("--divs", type=int, default=None,
+                    help="teapot tessellation override")
+    ap.add_argument("--sample-chunk", type=int, default=8)
+    ap.add_argument("--metrics", action="store_true",
+                    help="print a JSON metrics line to stderr")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from srt_tpu.scene.library import SCENES, get_scene
+    if args.list_scenes:
+        for name in SCENES:
+            print(name)
+        return 0
+
+    from srt_tpu import RenderConfig, render
+    from srt_tpu.io.image import write_png, write_ppm
+    from srt_tpu.render import film
+
+    height = args.height or args.width
+    kw = {}
+    if args.max_tex is not None:
+        kw["max_tex"] = args.max_tex
+    if args.divs is not None:
+        kw["divs"] = args.divs
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        scene, camera, info = get_scene(args.scene,
+                                        aspect=args.width / height, **kw)
+    for w in caught:
+        print(f"warning: {w.message}", file=sys.stderr)
+
+    config = RenderConfig(width=args.width, height=height, spp=args.spp,
+                          max_depth=args.max_depth, rr_start=args.rr_start,
+                          seed=args.seed, sample_chunk=args.sample_chunk)
+    t0 = time.time()
+    img = render(scene, camera, config)
+    img.block_until_ready()
+    wall = time.time() - t0
+
+    import numpy as np
+    img_np = np.asarray(img)
+    tonemapped = np.asarray(film.tonemap(img))
+    if args.out.lower().endswith(".ppm"):
+        write_ppm(args.out, tonemapped)
+    else:
+        write_png(args.out, tonemapped)
+
+    nan = int(np.isnan(img_np).sum())
+    rays = args.width * height * args.spp
+    print(f"{args.scene}: {args.width}x{height} spp={args.spp} "
+          f"depth<={args.max_depth} in {wall:.1f}s "
+          f"({rays / wall:,.0f} primary rays/s) -> {args.out}",
+          file=sys.stderr)
+    if args.metrics:
+        print(json.dumps({
+            "scene": args.scene, "wall_s": round(wall, 3),
+            "primary_rays_per_sec": round(rays / wall, 1),
+            "nan_pixels": nan, "mean": float(img_np.mean()),
+            "skipped_assets": info.get("skipped", []),
+        }), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,9 +88,10 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
 
     if config.sobol_pixel_jitter:
         pts = sobol_points(max(spp, 2), 2, dir_file=sobol_file)[:max(spp, 1)]
-        sobol_pts = jnp.asarray(pts, jnp.float32)
+        jit_pts = jnp.asarray(pts, jnp.float32)
     else:
-        sobol_pts = None  # fall back to RNG jitter below
+        # pure-RNG pixel jitter: derive from the sampler stream
+        jit_pts = _rng_jitter(spp, config.seed)
 
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
     chunk = min(config.sample_chunk, spp)
@@ -101,11 +102,6 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
         part = jnp.zeros((p1 - p0, 3), jnp.float32)
         for s0 in range(0, spp, chunk):
             n_s = min(chunk, spp - s0)
-            if sobol_pts is None:
-                # pure-RNG pixel jitter: derive from the sampler stream
-                jit_pts = _rng_jitter(spp, config.seed)
-            else:
-                jit_pts = sobol_pts
             part = part + _render_chunk(
                 scene, camera, pixel_ids, s0, jit_pts,
                 config.seed, width=w, height=h,

@@ -92,10 +92,10 @@ def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit
     cen1 = scene.sph_center1[c0:c1]
     times = scene.sph_times[c0:c1]
     rad = scene.sph_radius[c0:c1]            # (C,)
-    # Motion lerp (moving_sphere.h:19-21); static spheres have cen1 == cen0.
-    dt = jnp.clip((ray.time[:, None] - times[None, :, 0])
-                  / jnp.maximum(times[None, :, 1] - times[None, :, 0], 1e-20),
-                  min=None, max=None)
+    # Motion lerp (moving_sphere.h:19-21), unclamped exactly like the
+    # reference; static spheres have cen1 == cen0.
+    dt = ((ray.time[:, None] - times[None, :, 0])
+          / jnp.maximum(times[None, :, 1] - times[None, :, 0], 1e-20))
     cen = cen0[None] + dt[..., None] * (cen1 - cen0)[None]  # (N, C, 3)
 
     oc = ray.origin[:, None, :] - cen                        # (N, C, 3)

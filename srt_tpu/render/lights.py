@@ -97,12 +97,18 @@ def sample_lights(scene: Scene, p, u_pick, u1, u2):
         kind = scene.light_kind[li]
         idx = scene.light_index[li]
         # Gate each family on its (static) table size: a gather into a
-        # 0-row table is invalid in XLA even when masked out.
+        # 0-row table is invalid in XLA even when masked out. Clamp the
+        # index per family — a sphere light's idx may exceed the rect
+        # table (the clamped lane is masked out by `kind` below), and
+        # out-of-range gather behavior is an XLA implementation detail
+        # we must not rely on.
         w_li = None
         if scene.n_rects:
-            w_li = _rect_sample(scene, idx, p, u1, u2)
+            w_li = _rect_sample(scene, jnp.clip(idx, 0, scene.n_rects - 1),
+                                p, u1, u2)
         if scene.n_spheres:
-            w_sph = _sphere_sample(scene, idx, p, u1, u2)
+            w_sph = _sphere_sample(
+                scene, jnp.clip(idx, 0, scene.n_spheres - 1), p, u1, u2)
             w_li = (w_sph if w_li is None
                     else where3(kind == LightKind.RECT, w_li, w_sph))
         if w_li is None:
@@ -123,9 +129,10 @@ def lights_pdf(scene: Scene, p, wi):
         idx = scene.light_index[li]
         pdf = None
         if scene.n_rects:
-            pdf = _rect_pdf(scene, idx, p, wi)
+            pdf = _rect_pdf(scene, jnp.clip(idx, 0, scene.n_rects - 1), p, wi)
         if scene.n_spheres:
-            s_pdf = _sphere_pdf(scene, idx, p, wi)
+            s_pdf = _sphere_pdf(
+                scene, jnp.clip(idx, 0, scene.n_spheres - 1), p, wi)
             pdf = (s_pdf if pdf is None
                    else jnp.where(kind == LightKind.RECT, pdf, s_pdf))
         if pdf is None:

@@ -163,16 +163,62 @@ class SceneBuilder:
     def yz_rect(self, y0, y1, z0, z1, k, mat, flip=False) -> int:
         return self.rect(2, y0, y1, z0, z1, k, mat, flip)
 
-    def box(self, pmin, pmax, mat) -> None:
-        """Axis-aligned box = 6 rects (reference ``box.h:5-33``)."""
+    def box(self, pmin, pmax, mat, as_tris: bool = False) -> None:
+        """Axis-aligned box = 6 rects (reference ``box.h:5-33``).
+
+        ``as_tris=True`` lowers the box to 12 BVH triangles instead —
+        essential for box-heavy scenes (``final`` has 400 ground boxes,
+        ``Raytracing_n.cpp:483-494``) where the brute-force rect sweep
+        would dominate; the rect path keeps exact reference parity for
+        the handful of walls/lights other scenes use.
+        """
         x0, y0, z0 = [float(v) for v in pmin]
         x1, y1, z1 = [float(v) for v in pmax]
+        if as_tris:
+            c = np.array([[x0, y0, z0], [x1, y0, z0], [x0, y1, z0],
+                          [x1, y1, z0], [x0, y0, z1], [x1, y0, z1],
+                          [x0, y1, z1], [x1, y1, z1]], np.float32)
+            # Outward-wound faces: -z +z -y +y -x +x.
+            quads = np.array([[0, 2, 3, 1], [4, 5, 7, 6], [0, 1, 5, 4],
+                              [2, 6, 7, 3], [0, 4, 6, 2], [1, 3, 7, 5]])
+            f = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]])
+            self.triangles(c[f], mat)
+            return
         self.xy_rect(x0, x1, y0, y1, z1, mat)
         self.xy_rect(x0, x1, y0, y1, z0, mat, flip=True)
         self.xz_rect(x0, x1, z0, z1, y1, mat)
         self.xz_rect(x0, x1, z0, z1, y0, mat, flip=True)
         self.yz_rect(y0, y1, z0, z1, x1, mat)
         self.yz_rect(y0, y1, z0, z1, x0, mat, flip=True)
+
+    def trimesh(self, mesh, mat: int, scale=(1.0, 1.0, 1.0),
+                rotate: np.ndarray | None = None,
+                translate=(0.0, 0.0, 0.0), flip_winding: bool = False,
+                flip_uvs: bool = False) -> None:
+        """Add a :class:`~srt_tpu.io.mesh.TriMesh` soup, baking
+        scale -> rotate -> translate into world space (the reference's
+        ``translate(rotate(bvh_node(model)))``, ``Raytracing_n.cpp:642``).
+        ``flip_winding``/``flip_uvs`` mirror the assimp import flags
+        (``model.h:33-42``)."""
+        if isinstance(scale, (int, float)):
+            scale = (scale, scale, scale)
+        m = mesh.transformed(scale=scale, rotate=rotate, translate=translate,
+                             flip_winding=flip_winding, flip_uvs=flip_uvs)
+        p = m.positions
+        if m.normals is not None:
+            n = m.normals
+        else:
+            # Flat shading (the reference's normal-less PLY path).
+            gn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+            gn = gn / np.maximum(np.linalg.norm(gn, axis=1, keepdims=True),
+                                 1e-20)
+            n = np.repeat(gn[:, None, :], 3, axis=1)
+        uv = (m.uvs if m.uvs is not None
+              else np.zeros((len(p), 3, 2), np.float32))
+        self._tris.append((np.ascontiguousarray(p, np.float32),
+                           np.ascontiguousarray(uv, np.float32),
+                           np.ascontiguousarray(n, np.float32),
+                           np.full(len(p), int(mat), np.int32)))
 
     def mesh(self, vertices: np.ndarray, faces: np.ndarray, mat: int,
              uvs: np.ndarray | None = None, normals: np.ndarray | None = None,
