@@ -72,25 +72,26 @@ def main() -> None:
                           sample_chunk=args.sample_chunk,
                           pixel_chunk=1 << 20)
 
-    # Warmup: compile + one full run.
+    # Warmup: compile + one full run. NOTE: sync via host transfer —
+    # block_until_ready does not actually block under the tunneled axon
+    # TPU platform, so async dispatches would otherwise pile up unmeasured.
     t0 = time.time()
     img = render(scene, camera, config)
-    img.block_until_ready()
+    img_np = np.asarray(img)
     warm_s = time.time() - t0
     log(f"warmup (compile + render): {warm_s:.1f}s")
 
     # Timed: repeat full renders until min-seconds of wall time.
     reps, total = 0, 0.0
-    while total < args.min_seconds:
+    while total < args.min_seconds and reps < 50:
         cfg = RenderConfig(**{**config.__dict__, "seed": reps + 1})
         t0 = time.time()
         img = render(scene, camera, cfg)
-        img.block_until_ready()
+        img_np = np.asarray(img)  # device->host sync; ~3 MB, negligible
         dt = time.time() - t0
         total += dt
         reps += 1
         log(f"rep {reps}: {dt:.2f}s")
-    img_np = np.asarray(img)
     nan = int(np.isnan(img_np).sum())
     log(f"{reps} rep(s), {total:.2f}s total, mean={img_np.mean():.4f}, "
         f"nan={nan}")

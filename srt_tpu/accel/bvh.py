@@ -37,6 +37,11 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> tuple[FlatBVH, np.nd
 
     Returns ``(flat_bvh, order)`` where ``order`` is the permutation applied
     to the triangles (callers must reorder per-triangle attributes).
+
+    Dispatches to the native C++ builder (srt_tpu/native/bvh_builder.cpp,
+    same algorithm and layout, ~100x faster on mesh-scale inputs) and falls
+    back to the numpy implementation below when the native library is
+    unavailable (``SRT_TPU_NO_NATIVE=1`` or no compiler).
     """
     t = len(tri_verts)
     if t == 0:
@@ -46,6 +51,10 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> tuple[FlatBVH, np.nd
                         first=np.zeros((0,), np.int32),
                         count=np.zeros((0,), np.int32))
         return empty, np.zeros((0,), np.int64)
+
+    native = _build_bvh_native(tri_verts, leaf_size)
+    if native is not None:
+        return native
 
     lo_t = tri_verts.min(axis=1)          # (T, 3)
     hi_t = tri_verts.max(axis=1)
@@ -94,6 +103,39 @@ def build_bvh(tri_verts: np.ndarray, leaf_size: int = 4) -> tuple[FlatBVH, np.nd
         first=np.asarray(nodes_first, np.int32),
         count=np.asarray(nodes_count, np.int32),
     ), np.concatenate(order)
+
+
+def _build_bvh_native(tri_verts: np.ndarray, leaf_size: int):
+    """C++ builder via ctypes; None when the native lib is unavailable."""
+    from srt_tpu.native import get_lib
+    import ctypes
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = len(tri_verts)
+    verts = np.ascontiguousarray(tri_verts, np.float32)
+    cap = 2 * t  # <= 2T-1 nodes for a binary tree with >=1 tri per leaf
+    lo = np.empty((cap, 3), np.float32)
+    hi = np.empty((cap, 3), np.float32)
+    skip = np.empty((cap,), np.int32)
+    first = np.empty((cap,), np.int32)
+    count = np.empty((cap,), np.int32)
+    order = np.empty((t,), np.int64)
+
+    def ptr(a, ty):
+        return a.ctypes.data_as(ctypes.POINTER(ty))
+
+    n = lib.srt_build_bvh(
+        ptr(verts, ctypes.c_float), ctypes.c_int64(t),
+        ctypes.c_int(leaf_size),
+        ptr(lo, ctypes.c_float), ptr(hi, ctypes.c_float),
+        ptr(skip, ctypes.c_int32), ptr(first, ctypes.c_int32),
+        ptr(count, ctypes.c_int32), ptr(order, ctypes.c_int64))
+    if n < 0:
+        return None
+    return FlatBVH(lo=lo[:n].copy(), hi=hi[:n].copy(), skip=skip[:n].copy(),
+                   first=first[:n].copy(), count=count[:n].copy()), order
 
 
 def _split_sah(idx, lo_t, hi_t, centroid, leaf_size):
