@@ -44,6 +44,14 @@ def main() -> None:
                     help="reference parity: maxDepth 50")
     ap.add_argument("--min-seconds", type=float, default=3.0)
     ap.add_argument("--sample-chunk", type=int, default=8)
+    ap.add_argument("--engine", default="regen",
+                    choices=["regen", "scan", "both"],
+                    help="regen = persistent wavefront with path "
+                         "regeneration; scan = fixed lax.scan over bounces "
+                         "(BASELINE row 1's megakernel-vs-wavefront "
+                         "comparison); both = time both, report the faster")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of one rep to DIR")
     args = ap.parse_args()
     height = args.height or args.width
 
@@ -52,6 +60,7 @@ def main() -> None:
     import numpy as np
 
     from srt_tpu import RenderConfig, render
+    from srt_tpu.render.regen import render_regen
     from srt_tpu.scene.library import get_scene
 
     dev = jax.devices()[0]
@@ -72,31 +81,49 @@ def main() -> None:
                           sample_chunk=args.sample_chunk,
                           pixel_chunk=1 << 20)
 
-    # Warmup: compile + one full run. NOTE: sync via host transfer —
-    # block_until_ready does not actually block under the tunneled axon
-    # TPU platform, so async dispatches would otherwise pile up unmeasured.
-    t0 = time.time()
-    img = render(scene, camera, config)
-    img_np = np.asarray(img)
-    warm_s = time.time() - t0
-    log(f"warmup (compile + render): {warm_s:.1f}s")
+    engines = {"regen": render_regen, "scan": render}
+    run_engines = list(engines) if args.engine == "both" else [args.engine]
 
-    # Timed: repeat full renders until min-seconds of wall time.
-    reps, total = 0, 0.0
-    while total < args.min_seconds and reps < 50:
-        cfg = RenderConfig(**{**config.__dict__, "seed": reps + 1})
+    def timed(engine_name):
+        """(reps, total_s, img) for one engine. NOTE: sync via host
+        transfer — block_until_ready does not actually block under the
+        tunneled axon TPU platform, so async dispatches would otherwise
+        pile up unmeasured."""
+        fn = engines[engine_name]
         t0 = time.time()
-        img = render(scene, camera, cfg)
-        img_np = np.asarray(img)  # device->host sync; ~3 MB, negligible
-        dt = time.time() - t0
-        total += dt
-        reps += 1
-        log(f"rep {reps}: {dt:.2f}s")
+        img_np = np.asarray(fn(scene, camera, config))
+        log(f"[{engine_name}] warmup (compile + render): "
+            f"{time.time() - t0:.1f}s")
+        reps, total = 0, 0.0
+        while total < args.min_seconds and reps < 50:
+            cfg = RenderConfig(**{**config.__dict__, "seed": reps + 1})
+            t0 = time.time()
+            img_np = np.asarray(fn(scene, camera, cfg))
+            dt = time.time() - t0
+            total += dt
+            reps += 1
+            log(f"[{engine_name}] rep {reps}: {dt:.2f}s")
+        return reps, total, img_np
+
+    results = {}
+    for name in run_engines:
+        results[name] = timed(name)
+    best = min(run_engines, key=lambda n: results[n][1] / results[n][0])
+    reps, total, img_np = results[best]
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            np.asarray(engines[best](scene, camera, config))
+        log(f"profiler trace written to {args.profile}")
     nan = int(np.isnan(img_np).sum())
     log(f"{reps} rep(s), {total:.2f}s total, mean={img_np.mean():.4f}, "
         f"nan={nan}")
 
     primary = args.width * height * args.spp
+
+    def primary_for(r):
+        return primary * r[0] / r[1]
+
     rays_per_sec = primary * reps / total
     ref_rps = float(REF.get("primary_rays_per_sec", 935137))
     result = {
@@ -106,6 +133,11 @@ def main() -> None:
         "vs_baseline": round(rays_per_sec / ref_rps, 3),
         "baseline_rays_per_sec": ref_rps,
         "scene": scene_name,
+        "engine": best,
+        "engines": {n: {"reps": r[0], "wall_s": round(r[1], 3),
+                        "rays_per_sec":
+                        round(primary_for(r), 1)}
+                    for n, r in results.items()},
         "config": {"width": args.width, "height": height, "spp": args.spp,
                    "max_depth": args.max_depth, "reps": reps},
         "device": f"{dev.platform}:{dev.device_kind}",

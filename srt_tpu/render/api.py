@@ -44,10 +44,10 @@ _DIM_TIME = 34
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "rr_start",
-                                   "n_samples"))
+                                   "n_samples", "with_aux"))
 def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
                   sobol_pts, seed, *, width, height, max_depth, rr_start,
-                  n_samples):
+                  n_samples, with_aux=False):
     """Radiance sum over ``n_samples`` consecutive samples for a pixel chunk.
 
     Flattens (pixels × samples) into one wavefront so the whole chunk is a
@@ -71,18 +71,29 @@ def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
     u_t = sampler.uniform(_DIM_TIME)
     rays = camera.rays(s, t, u_l1, u_l2, u_t)
 
-    radiance = trace(scene, rays, sampler, max_depth=max_depth,
-                     rr_start=rr_start)
-    return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1)  # (P, 3)
+    out = trace(scene, rays, sampler, max_depth=max_depth,
+                rr_start=rr_start, with_aux=with_aux)
+    if with_aux:
+        radiance, aux = out
+        return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1), aux
+    return jnp.sum(out.reshape(p, n_samples, 3), axis=1)  # (P, 3)
 
 
 def render(scene: Scene, camera: Camera, config: RenderConfig,
-           sobol_file: str | None = None) -> jnp.ndarray:
+           sobol_file: str | None = None, metrics: bool = False):
     """Render a linear-radiance image (H, W, 3) float32.
 
     Outer host loop over sample chunks and pixel chunks; all hot work is in
     the jitted ``_render_chunk``. Accumulation stays on device in f32.
+
+    ``metrics=True`` additionally returns a
+    :class:`srt_tpu.utils.RenderMetrics` (rays/s, bounce histogram,
+    NaN-scrub count — SURVEY §5's structured observability).
     """
+    import time as _time
+
+    from srt_tpu.utils.metrics import RenderMetrics
+
     w, h, spp = config.width, config.height, config.spp
     n_pixels = w * h
 
@@ -95,6 +106,9 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
 
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
     chunk = min(config.sample_chunk, spp)
+    m = RenderMetrics(width=w, height=h, spp=spp, max_depth=config.max_depth,
+                      primary_rays=n_pixels * spp)
+    t0 = _time.time()
 
     for p0 in range(0, n_pixels, config.pixel_chunk):
         p1 = min(p0 + config.pixel_chunk, n_pixels)
@@ -102,14 +116,22 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
         part = jnp.zeros((p1 - p0, 3), jnp.float32)
         for s0 in range(0, spp, chunk):
             n_s = min(chunk, spp - s0)
-            part = part + _render_chunk(
+            out = _render_chunk(
                 scene, camera, pixel_ids, s0, jit_pts,
                 config.seed, width=w, height=h,
                 max_depth=config.max_depth, rr_start=config.rr_start,
-                n_samples=n_s)
+                n_samples=n_s, with_aux=metrics)
+            if metrics:
+                out, aux = out
+                m.add_chunk(aux)
+            part = part + out
         acc = acc.at[p0:p1].add(part)
 
     img = (acc / spp).reshape(h, w, 3)
+    if metrics:
+        img.block_until_ready()
+        m.wall_s = _time.time() - t0
+        return img, m
     return img
 
 

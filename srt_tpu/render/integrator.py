@@ -71,109 +71,146 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
     return hit
 
 
+def bounce_step(scene: Scene, state: dict, max_depth: int,
+                rr_start: int) -> dict:
+    """One path-tracing bounce for every lane of a wavefront.
+
+    ``state`` keys: ``o d time beta radiance alive salt depth`` — ``salt``
+    is the per-lane RaySampler stream (a pure function of pixel/sample ids)
+    and ``depth`` the per-lane bounce index, so the same step serves both
+    the fixed ``lax.scan`` integrator (:func:`trace`, all lanes in depth
+    lockstep) and the regeneration engine (:mod:`srt_tpu.render.regen`,
+    lanes at different depths).
+    """
+    depth = state["depth"]
+    s = RaySampler(salt=state["salt"]).fold(depth)
+    r = Ray(origin=state["o"], direction=state["d"], time=state["time"])
+    alive = state["alive"]
+    beta = state["beta"]
+    radiance = state["radiance"]
+
+    hit = intersect_scene(scene, r, 1e-3, _BIG)
+    if scene.n_media:
+        hit = _apply_media(scene, r, s, hit)
+    # Sanitize miss lanes before shading: a zero normal (degenerate
+    # ONB) or far-plane position would create inf/NaN *intermediates*
+    # whose backward partials poison gradients even under masking.
+    up = jnp.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32),
+                          hit.normal.shape)
+    hit = hit._replace(
+        p=where3(hit.hit, hit.p, r.origin),
+        normal=where3(hit.hit & (jnp.sum(hit.normal * hit.normal, -1)
+                                 > 1e-12), hit.normal, up))
+
+    # Emission (added whether or not the path continues,
+    # Raytracing_n.cpp:61,94,99).
+    emit = mats.emitted(scene, hit.mat, hit.uv, hit.p, hit.normal, r.direction)
+    radiance = radiance + jnp.where((alive & hit.hit)[:, None],
+                                    beta * emit, 0.0)
+
+    scatters = hit.hit & mats.is_scattering(scene, hit.mat)
+    specular = scatters & mats.is_specular(scene, hit.mat)
+    diffuse = scatters & ~specular
+
+    # --- specular branch (Raytracing_n.cpp:66-70) -------------------
+    u_spec = jnp.stack([s.uniform(_DIM_SPEC + i) for i in range(4)], -1)
+    spec_dir, spec_atten = mats.scatter_specular(
+        scene, hit.mat, hit.p, hit.normal, hit.uv, r.direction, u_spec)
+
+    # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
+    u1 = s.uniform(_DIM_SAMPLE)
+    u2 = s.uniform(_DIM_SAMPLE + 1)
+    # Detached sampling: gradients flow through the integrand
+    # (weight/pdf below), not through the sampled directions — the
+    # standard detached MIS estimator for differentiable MC rendering,
+    # and it keeps the Beckmann inverse-CDF (arccos/erfinv chains) out
+    # of the backward graph.
+    bsdf_dir = jax.lax.stop_gradient(
+        mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2))
+    if scene.n_lights:
+        light_dir = jax.lax.stop_gradient(
+            lights.sample_lights(scene, hit.p,
+                                 s.uniform(_DIM_LIGHT_PICK), u1, u2))
+        pick_light = s.uniform(_DIM_MIX) < 0.5
+        wi = where3(pick_light, light_dir, bsdf_dir)
+        pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
+               + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
+                                     r.direction, wi))
+    else:
+        wi = bsdf_dir
+        pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi)
+    weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
+                              r.direction, wi)
+    ok = pdf > 1e-9
+    diff_beta = jnp.where(ok[:, None],
+                          weight / jnp.maximum(pdf, 1e-9)[:, None], 0.0)
+
+    # --- merge branches ---------------------------------------------
+    new_dir = where3(specular, spec_dir, wi)
+    beta_scale = where3(specular, spec_atten, diff_beta)
+    new_beta = beta * beta_scale
+    new_alive = alive & scatters & (jnp.max(new_beta, axis=-1) > 0.0)
+
+    # Russian roulette (ours; reference uses only the depth cap).
+    if rr_start < max_depth:
+        q = jnp.clip(jnp.max(new_beta, axis=-1), 0.05, 1.0)
+        do_rr = depth >= rr_start
+        survive = s.uniform(_DIM_RR) < q
+        new_alive = new_alive & (~do_rr | survive)
+        new_beta = jnp.where((do_rr & new_alive)[:, None],
+                             new_beta / q[:, None], new_beta)
+
+    return dict(
+        o=where3(alive & scatters, hit.p, state["o"]),
+        d=where3(alive & scatters, new_dir, state["d"]),
+        time=state["time"],
+        beta=jnp.where(alive[:, None], new_beta, beta),
+        radiance=radiance,
+        alive=new_alive & alive,
+        salt=state["salt"],
+        depth=depth + 1,
+    )
+
+
 def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
-          rr_start: int = 64) -> jnp.ndarray:
+          rr_start: int = 64, with_aux: bool = False):
     """Estimate radiance for a wavefront of primary rays -> (N, 3).
+
+    Bounded ``lax.scan`` over :func:`bounce_step` with every lane in depth
+    lockstep — the reverse-differentiable engine (the regeneration engine
+    in :mod:`srt_tpu.render.regen` is the faster forward-only one).
 
     ``rr_start``: bounce index where Russian roulette begins (the reference
     uses a hard depth-50 cap and no roulette, ``Raytracing_n.cpp:42,63``;
     set ``rr_start >= max_depth`` for reference-equivalent behavior).
+
+    ``with_aux``: also return device-side metrics counters
+    (``alive_per_bounce`` (max_depth,), ``path_vertices``, ``nan_scrubbed``)
+    for :class:`srt_tpu.utils.RenderMetrics`.
     """
     n = ray.origin.shape[0]
     state = dict(
         o=ray.origin, d=ray.direction, time=ray.time,
-        beta=np.ones((n, 3), np.float32), radiance=np.zeros((n, 3), np.float32),
+        beta=np.ones((n, 3), np.float32),
+        radiance=np.zeros((n, 3), np.float32),
         alive=np.ones((n,), bool),
+        salt=sampler.salt,
+        depth=np.zeros((n,), np.int32),
     )
 
-    def bounce(state, depth):
-        s = sampler.fold(depth)
-        r = Ray(origin=state["o"], direction=state["d"], time=state["time"])
-        alive = state["alive"]
-        beta = state["beta"]
-        radiance = state["radiance"]
+    def bounce(state, _):
+        n_alive = jnp.sum(state["alive"].astype(jnp.int32))
+        return bounce_step(scene, state, max_depth, rr_start), n_alive
 
-        hit = intersect_scene(scene, r, 1e-3, _BIG)
-        if scene.n_media:
-            hit = _apply_media(scene, r, s, hit)
-        # Sanitize miss lanes before shading: a zero normal (degenerate
-        # ONB) or far-plane position would create inf/NaN *intermediates*
-        # whose backward partials poison gradients even under masking.
-        up = jnp.broadcast_to(np.array([0.0, 0.0, 1.0], np.float32),
-                              hit.normal.shape)
-        hit = hit._replace(
-            p=where3(hit.hit, hit.p, r.origin),
-            normal=where3(hit.hit & (jnp.sum(hit.normal * hit.normal, -1)
-                                     > 1e-12), hit.normal, up))
-
-        # Emission (added whether or not the path continues,
-        # Raytracing_n.cpp:61,94,99).
-        emit = mats.emitted(scene, hit.mat, hit.uv, hit.p, hit.normal, r.direction)
-        radiance = radiance + jnp.where((alive & hit.hit)[:, None],
-                                        beta * emit, 0.0)
-
-        scatters = hit.hit & mats.is_scattering(scene, hit.mat)
-        specular = scatters & mats.is_specular(scene, hit.mat)
-        diffuse = scatters & ~specular
-
-        # --- specular branch (Raytracing_n.cpp:66-70) -------------------
-        u_spec = jnp.stack([s.uniform(_DIM_SPEC + i) for i in range(4)], -1)
-        spec_dir, spec_atten = mats.scatter_specular(
-            scene, hit.mat, hit.p, hit.normal, hit.uv, r.direction, u_spec)
-
-        # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
-        u1 = s.uniform(_DIM_SAMPLE)
-        u2 = s.uniform(_DIM_SAMPLE + 1)
-        # Detached sampling: gradients flow through the integrand
-        # (weight/pdf below), not through the sampled directions — the
-        # standard detached MIS estimator for differentiable MC rendering,
-        # and it keeps the Beckmann inverse-CDF (arccos/erfinv chains) out
-        # of the backward graph.
-        bsdf_dir = jax.lax.stop_gradient(
-            mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2))
-        if scene.n_lights:
-            light_dir = jax.lax.stop_gradient(
-                lights.sample_lights(scene, hit.p,
-                                     s.uniform(_DIM_LIGHT_PICK), u1, u2))
-            pick_light = s.uniform(_DIM_MIX) < 0.5
-            wi = where3(pick_light, light_dir, bsdf_dir)
-            pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
-                   + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
-                                         r.direction, wi))
-        else:
-            wi = bsdf_dir
-            pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi)
-        weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
-                                  r.direction, wi)
-        ok = pdf > 1e-9
-        diff_beta = jnp.where(ok[:, None],
-                              weight / jnp.maximum(pdf, 1e-9)[:, None], 0.0)
-
-        # --- merge branches ---------------------------------------------
-        new_dir = where3(specular, spec_dir, wi)
-        beta_scale = where3(specular, spec_atten, diff_beta)
-        new_beta = beta * beta_scale
-        new_alive = alive & scatters & (jnp.max(new_beta, axis=-1) > 0.0)
-
-        # Russian roulette (ours; reference uses only the depth cap).
-        if rr_start < max_depth:
-            q = jnp.clip(jnp.max(new_beta, axis=-1), 0.05, 1.0)
-            do_rr = depth >= rr_start
-            survive = s.uniform(_DIM_RR) < q
-            new_alive = new_alive & (~do_rr | survive)
-            new_beta = jnp.where((do_rr & new_alive)[:, None],
-                                 new_beta / q[:, None], new_beta)
-
-        state = dict(
-            o=where3(alive & scatters, hit.p, state["o"]),
-            d=where3(alive & scatters, new_dir, state["d"]),
-            time=state["time"],
-            beta=jnp.where(alive[:, None], new_beta, beta),
-            radiance=radiance,
-            alive=new_alive & alive,
-        )
-        return state, None
-
-    state, _ = jax.lax.scan(bounce, state, np.arange(max_depth, dtype=np.int32))
-    # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — but count upstream.
-    return de_nan(state["radiance"])
+    state, alive_hist = jax.lax.scan(bounce, state, None, length=max_depth)
+    # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — counted, not silent.
+    radiance = state["radiance"]
+    out = de_nan(radiance)
+    if not with_aux:
+        return out
+    aux = {
+        "alive_per_bounce": alive_hist,
+        "path_vertices": jnp.sum(alive_hist.astype(jnp.uint32)),
+        "nan_scrubbed": jnp.sum(jnp.isnan(radiance), dtype=jnp.uint32),
+    }
+    return out, aux

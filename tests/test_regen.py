@@ -1,0 +1,45 @@
+"""Regeneration engine vs scan engine: same estimator, same images."""
+import numpy as np
+
+from srt_tpu import RenderConfig, render
+from srt_tpu.render.regen import render_regen
+from srt_tpu.scene.library import cornell_boxes
+
+
+def test_regen_matches_scan():
+    """Identical RNG streams => identical per-sample radiance; images may
+    differ only by float accumulation order."""
+    scene, cam, _ = cornell_boxes(aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=6)
+    img_scan, m_scan = render(scene, cam, cfg, metrics=True)
+    img_regen, m_regen = render_regen(scene, cam, cfg, metrics=True)
+    a, b = np.asarray(img_scan), np.asarray(img_regen)
+    # Exactly the same ray segments were traced...
+    assert m_scan.path_vertices == m_regen.path_vertices
+    # ...and the images agree to accumulation-order noise.
+    np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-5)
+    assert np.isfinite(b).all()
+
+
+def test_regen_small_wavefront_queue_drain():
+    """Wavefront far smaller than the work queue: every (pixel, sample)
+    item must be issued exactly once (the cursor/cumsum regeneration)."""
+    scene, cam, _ = cornell_boxes(aspect=1.0)
+    cfg = RenderConfig(width=8, height=8, spp=4, max_depth=4)
+    object.__setattr__(cfg, "wavefront", 37)  # frozen dataclass; test knob
+    img, m = render_regen(scene, cam, cfg, metrics=True)
+    ref = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(np.asarray(img), ref, atol=2e-5, rtol=1e-5)
+
+
+def test_regen_metrics_histogram_consistency():
+    scene, cam, _ = cornell_boxes(aspect=1.0)
+    cfg = RenderConfig(width=8, height=8, spp=2, max_depth=5)
+    _, m = render(scene, cam, cfg, metrics=True)
+    assert m.primary_rays == 8 * 8 * 2
+    assert m.alive_per_bounce is not None
+    assert m.alive_per_bounce.shape == (5,)
+    # Bounce 0 has every lane alive; counts are non-increasing.
+    assert m.alive_per_bounce[0] == m.primary_rays
+    assert all(np.diff(m.alive_per_bounce) <= 0)
+    assert m.path_vertices == int(m.alive_per_bounce.sum())
