@@ -1,0 +1,77 @@
+"""Golden-image PSNR harness (BASELINE row 2).
+
+Renders a reference scene at the goldens' 500x500 resolution and compares
+against the reference's checked-in PPMs (``/root/reference/results/``,
+SURVEY §4 — the reference's only verification artifacts). Also writes our
+own golden alongside for regression tracking.
+
+Usage:
+    python tools/golden.py [--scene soldier_scene] [--spp 128]
+        [--golden /root/reference/results/20200630_soldier_sky4_floor.ppm]
+        [--out-dir goldens/] [--engine regen]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_GOLDEN = "/root/reference/results/20200630_soldier_sky4_floor.ppm"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="soldier_scene")
+    ap.add_argument("--spp", type=int, default=128)
+    ap.add_argument("--size", type=int, default=500)
+    ap.add_argument("--max-depth", type=int, default=50)
+    ap.add_argument("--golden", default=DEFAULT_GOLDEN)
+    ap.add_argument("--out-dir", default="goldens")
+    ap.add_argument("--engine", default="regen", choices=["regen", "scan"])
+    ap.add_argument("--downsample", type=int, default=4)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from srt_tpu.io.image import read_ppm, write_ppm
+    from srt_tpu.render import film
+    from srt_tpu.render.api import RenderConfig, render
+    from srt_tpu.render.regen import render_regen
+    from srt_tpu.scene.library import get_scene
+    from srt_tpu.utils.compare import golden_psnr
+
+    scene, camera, info = get_scene(args.scene, aspect=1.0)
+    if info.get("skipped"):
+        print(f"WARNING: assets skipped: {info['skipped']}", file=sys.stderr)
+
+    cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
+                       max_depth=args.max_depth, rr_start=1 << 30)
+    fn = render_regen if args.engine == "regen" else render
+    t0 = time.time()
+    img = np.asarray(fn(scene, camera, cfg))
+    wall = time.time() - t0
+    tm = np.asarray(film.tonemap(img))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ours_path = os.path.join(args.out_dir, f"{args.scene}_{args.size}.ppm")
+    write_ppm(ours_path, tm)
+
+    result = {"scene": args.scene, "spp": args.spp, "size": args.size,
+              "max_depth": args.max_depth, "wall_s": round(wall, 1),
+              "ours": ours_path}
+    if args.golden and os.path.exists(args.golden):
+        gold = read_ppm(args.golden)
+        result["golden"] = args.golden
+        result.update(golden_psnr(tm, gold, downsample=args.downsample))
+    else:
+        print(f"golden {args.golden} not found; render-only run",
+              file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
