@@ -37,6 +37,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sample-chunk", type=int, default=8)
     ap.add_argument("--metrics", action="store_true",
                     help="print a JSON metrics line to stderr")
+    ap.add_argument("--engine", default="regen", choices=["regen", "scan"],
+                    help="regen = persistent wavefront with path "
+                         "regeneration (fastest); scan = fixed "
+                         "scan-over-bounces (differentiable path)")
+    ap.add_argument("--checkpoint", default=None, metavar="FILE",
+                    help="checkpoint radiance sums to FILE and resume from "
+                         "it if present (scan engine)")
+    ap.add_argument("--checkpoint-every", type=int, default=64,
+                    metavar="SPP", help="spp between checkpoints")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render to DIR")
     return ap
 
 
@@ -68,13 +79,37 @@ def main(argv=None) -> int:
     config = RenderConfig(width=args.width, height=height, spp=args.spp,
                           max_depth=args.max_depth, rr_start=args.rr_start,
                           seed=args.seed, sample_chunk=args.sample_chunk)
-    t0 = time.time()
-    img = render(scene, camera, config)
-    img.block_until_ready()
-    wall = time.time() - t0
+
+    import contextlib
 
     import numpy as np
-    img_np = np.asarray(img)
+
+    if args.profile:
+        import jax
+        prof = jax.profiler.trace(args.profile)
+    else:
+        prof = contextlib.nullcontext()
+
+    m = None
+    t0 = time.time()
+    with prof:
+        if args.checkpoint:
+            from srt_tpu.utils.checkpoint import render_resumable
+            img = render_resumable(scene, camera, config, args.checkpoint,
+                                   ckpt_every_spp=args.checkpoint_every)
+        elif args.engine == "regen":
+            from srt_tpu.render.regen import render_regen
+            out = render_regen(scene, camera, config, metrics=args.metrics)
+            img = out[0] if args.metrics else out
+            m = out[1] if args.metrics else None
+        else:
+            out = render(scene, camera, config, metrics=args.metrics)
+            img = out[0] if args.metrics else out
+            m = out[1] if args.metrics else None
+        # Host transfer = the only reliable device sync under the tunneled
+        # axon TPU platform (block_until_ready returns early there).
+        img_np = np.asarray(img)
+    wall = time.time() - t0
     tonemapped = np.asarray(film.tonemap(img))
     if args.out.lower().endswith(".ppm"):
         write_ppm(args.out, tonemapped)
@@ -88,12 +123,16 @@ def main(argv=None) -> int:
           f"({rays / wall:,.0f} primary rays/s) -> {args.out}",
           file=sys.stderr)
     if args.metrics:
-        print(json.dumps({
-            "scene": args.scene, "wall_s": round(wall, 3),
+        line = {
+            "scene": args.scene, "engine": args.engine,
+            "wall_s": round(wall, 3),
             "primary_rays_per_sec": round(rays / wall, 1),
             "nan_pixels": nan, "mean": float(img_np.mean()),
             "skipped_assets": info.get("skipped", []),
-        }), file=sys.stderr)
+        }
+        if m is not None:
+            line.update(m.to_dict())
+        print(json.dumps(line), file=sys.stderr)
     return 0
 
 

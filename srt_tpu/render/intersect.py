@@ -209,6 +209,36 @@ def _tri_intersect(p0, p1, p2, ray_o, ray_d, t_min, t_max):
     return t, u, v, valid
 
 
+def _pallas_mode() -> str:
+    """'auto' (kernel on TPU when the scene fits VMEM), 'off', or
+    'interpret' (kernel semantics on CPU — used by tests)."""
+    import os
+    return os.environ.get("SRT_TPU_PALLAS", "auto")
+
+
+def intersect_tris_via_pallas(scene: Scene, ray: Ray, t_min,
+                              interpret: bool) -> Hit:
+    """Hit assembly around the Pallas traversal kernel.
+
+    Geometry is detached (stop_gradient on t/u/v): the Pallas kernel has no
+    VJP; parameter gradients (albedo/materials/emission/lights) are
+    unaffected, triangle-*vertex* gradients are out of scope on this path.
+    """
+    from srt_tpu.pallas import intersect_tris_pallas
+
+    t_best, u, v, tri = jax.tree.map(
+        jax.lax.stop_gradient,
+        intersect_tris_pallas(scene, ray, t_min, interpret=interpret))
+    hit = t_best < _BIG
+    w = 1.0 - u - v
+    bary = jnp.stack([w, u, v], axis=-1)
+    uv = jnp.sum(scene.tri_uv[tri] * bary[..., None], axis=1)
+    normal = normalize(jnp.sum(scene.tri_n[tri] * bary[..., None], axis=1))
+    return Hit(t=jnp.where(hit, t_best, _BIG), hit=hit,
+               p=ray.at(jnp.minimum(t_best, _T_POS_MAX)),
+               normal=normal, uv=uv, mat=scene.tri_mat[tri])
+
+
 def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
                    leaf_size: int = 4) -> Hit:
     """Closest triangle hit via stackless skip-link BVH traversal.
@@ -295,5 +325,12 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG) -> Hit:
     if scene.n_rects:
         best = best.closer_of(intersect_rects(scene, ray, t_min, t_max))
     if scene.n_tris:
-        best = best.closer_of(intersect_tris(scene, ray, t_min, t_max))
+        mode = _pallas_mode()
+        from srt_tpu.pallas import pallas_available
+        interp = mode == "interpret"
+        if mode != "off" and pallas_available(scene, interpret=interp):
+            best = best.closer_of(
+                intersect_tris_via_pallas(scene, ray, t_min, interp))
+        else:
+            best = best.closer_of(intersect_tris(scene, ray, t_min, t_max))
     return best
