@@ -107,8 +107,16 @@ def main() -> None:
 
     results = {}
     for name in run_engines:
-        results[name] = timed(name)
-    best = min(run_engines, key=lambda n: results[n][1] / results[n][0])
+        try:
+            results[name] = timed(name)
+        except Exception as e:  # TPU worker crash etc. — keep what we have
+            log(f"[{name}] FAILED: {type(e).__name__}: {e}")
+    if not results:
+        print(json.dumps({"metric": "primary_rays_per_sec", "value": 0.0,
+                          "unit": "rays/s", "vs_baseline": 0.0,
+                          "error": "all engines failed"}), flush=True)
+        return
+    best = min(results, key=lambda n: results[n][1] / results[n][0])
     reps, total, img_np = results[best]
 
     if args.profile:

@@ -68,6 +68,27 @@ def where3(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+def safe_normalize(v, eps: float = 1e-12):
+    """Unit vector with a NaN-free backward pass: degenerate inputs
+    (|v|^2 <= eps, e.g. the half-vector of wi == -wo) map to +z with zero
+    cotangent instead of 0/0."""
+    l2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    ok = l2 > eps
+    fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
+    return jnp.where(ok, v, fallback) / jnp.sqrt(jnp.where(ok, l2, 1.0))
+
+
+def safe_sqrt(x, eps: float = 0.0):
+    """sqrt that is NaN-free in the *backward* pass on clamped lanes.
+
+    ``sqrt(maximum(x, 0))`` has derivative inf at 0 — masking the output
+    afterwards still poisons gradients (0 * inf = NaN). The double-where
+    keeps the primal identical and routes clamped lanes' cotangents
+    through a constant."""
+    pos = x > eps
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def de_nan(c):
     """Zero out NaN channels per sample (reference: ``Raytracing_n.cpp:47-53``),
     except here it is counted by the caller's metrics instead of silent."""

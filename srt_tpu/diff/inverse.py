@@ -66,8 +66,13 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
     rays = camera.rays(s, t, sampler.uniform(_DIM_LENS),
                        sampler.uniform(_DIM_LENS + 1),
                        sampler.uniform(_DIM_TIME))
+    # SceneFlags.of returns None when scene tables are traced; under the
+    # usual make_train_step jit the *types* table is a closure constant,
+    # so the shader still specializes (optimized params like tex_color
+    # stay traced).
+    from srt_tpu.scene.ir import SceneFlags
     radiance = trace(scene, rays, sampler, max_depth=max_depth,
-                     rr_start=1 << 30)
+                     rr_start=1 << 30, flags=SceneFlags.of(scene))
     return jnp.mean(radiance.reshape(p, spp, 3), axis=1)
 
 

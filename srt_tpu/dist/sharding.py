@@ -72,6 +72,9 @@ def render_sharded(scene: Scene, camera, config: RenderConfig, mesh: Mesh,
     sobol_pts = jax.device_put(jnp.asarray(pts, jnp.float32),
                                NamedSharding(mesh, P()))
 
+    from srt_tpu.scene.ir import SceneFlags
+    flags = SceneFlags.of(scene)
+
     acc = jnp.zeros((n_pixels + pad, 3), jnp.float32)
     acc = jax.device_put(acc, NamedSharding(mesh, P(axis)))
     chunk = min(config.sample_chunk, spp)
@@ -80,6 +83,6 @@ def render_sharded(scene: Scene, camera, config: RenderConfig, mesh: Mesh,
         acc = acc + _render_chunk(
             scene, camera, pixel_ids, s0, sobol_pts, config.seed,
             width=w, height=h, max_depth=config.max_depth,
-            rr_start=config.rr_start, n_samples=n_s)
+            rr_start=config.rr_start, n_samples=n_s, flags=flags)
     img = (acc[:n_pixels] / spp).reshape(h, w, 3)
     return img

@@ -32,12 +32,13 @@ import jax.numpy as jnp
 
 from srt_tpu.core import frame
 from srt_tpu.core.onb import OrthonormalBasis
-from srt_tpu.core.vecmath import dot, normalize, reflect, refract_dir, where3
+from srt_tpu.core.vecmath import (dot, normalize, reflect, refract_dir,
+                                  safe_normalize, where3)
 from srt_tpu.materials import merl as merl_mod
 from srt_tpu.materials.microfacet import (
     beckmann_d, g, g1, pdf_wh_visible, sample_wh_visible)
 from srt_tpu.materials.textures import texture_value
-from srt_tpu.scene.ir import MaterialType, Scene
+from srt_tpu.scene.ir import MaterialType, Scene, has_mat, has_tex
 
 _INV_PI = 1.0 / jnp.pi
 
@@ -46,17 +47,19 @@ def _mtype(scene: Scene, mat_id):
     return scene.mat_type[mat_id]
 
 
-def albedo(scene: Scene, mat_id, uv, p):
+def albedo(scene: Scene, mat_id, uv, p, flags=None):
     """Texture-evaluated albedo/emission color for the hit."""
-    return texture_value(scene, scene.mat_tex[mat_id], uv, p)
+    return texture_value(scene, scene.mat_tex[mat_id], uv, p, flags)
 
 
-def emitted(scene: Scene, mat_id, uv, p, normal, ray_dir):
+def emitted(scene: Scene, mat_id, uv, p, normal, ray_dir, flags=None):
     """One-sided emission (``material.h:348-354``): emit only when the stored
     normal faces the incoming ray."""
+    if not has_mat(flags, MaterialType.DIFFUSE_LIGHT):
+        return jnp.zeros_like(p)
     is_light = _mtype(scene, mat_id) == MaterialType.DIFFUSE_LIGHT
     facing = dot(normal, ray_dir) < 0.0
-    e = albedo(scene, mat_id, uv, p)
+    e = albedo(scene, mat_id, uv, p, flags)
     return jnp.where((is_light & facing)[..., None], e, 0.0)
 
 
@@ -91,44 +94,54 @@ def _schlick(cosine, ref_idx):
     return r0 + (1.0 - r0) * jnp.power(jnp.maximum(1.0 - cosine, 0.0), 5.0)
 
 
-def scatter_specular(scene: Scene, mat_id, p, normal, uv, ray_dir, u4):
+def scatter_specular(scene: Scene, mat_id, p, normal, uv, ray_dir, u4,
+                     flags=None):
     """Specular-branch scatter. ``u4``: (N, 4) uniforms.
 
-    Returns (new_dir unit, attenuation (N,3)).
+    Returns (new_dir unit, attenuation (N,3)). Statically skips specular
+    models the scene lacks (the integrator masks this branch to specular
+    lanes, so skipped lanes' values are never selected).
     """
     t = _mtype(scene, mat_id)
     params = scene.mat_params[mat_id]
-    alb = albedo(scene, mat_id, uv, p)
-
-    # METAL (material.h:243-261): mirror + fuzz ball.
-    fuzz = params[..., 0]
     refl = reflect(ray_dir, normal)
-    metal_dir = normalize(refl + fuzz[..., None]
-                          * _uniform_in_sphere(u4[..., 0], u4[..., 1], u4[..., 2]))
+    new_dir = refl
+    atten = jnp.ones_like(p)
 
-    # DIELECTRIC (material.h:282-324): one-sided Schlick + refraction.
-    # Clamped: non-dielectric lanes read garbage params, and ref_idx=0
-    # would put 1/0=inf in the graph and NaN the backward pass.
-    ref_idx = jnp.maximum(params[..., 0], 1e-2)
-    going_out = dot(ray_dir, normal) > 0.0
-    outward_n = where3(going_out, -normal, normal)
-    ni_over_nt = jnp.where(going_out, ref_idx, 1.0 / ref_idx)
-    cosine = jnp.where(going_out, dot(ray_dir, normal), -dot(ray_dir, normal))
-    refracted, can_refract = refract_dir(ray_dir, outward_n, ni_over_nt)
-    reflect_prob = jnp.where(can_refract, _schlick(cosine, ref_idx), 1.0)
-    take_reflect = u4[..., 3] < reflect_prob
-    diel_dir = normalize(where3(take_reflect, refl, refracted))
+    if has_mat(flags, MaterialType.METAL):
+        # METAL (material.h:243-261): mirror + fuzz ball.
+        fuzz = params[..., 0]
+        metal_dir = safe_normalize(
+            refl + fuzz[..., None]
+            * _uniform_in_sphere(u4[..., 0], u4[..., 1], u4[..., 2]))
+        new_dir = where3(t == MaterialType.METAL, metal_dir, new_dir)
+        alb = albedo(scene, mat_id, uv, p, flags)
+        atten = where3(t == MaterialType.METAL, alb, atten)
 
-    # ISOTROPIC (material.h:359-369): uniform phase function.
-    iso_dir = normalize(_uniform_in_sphere(u4[..., 0], u4[..., 1],
-                                           jnp.ones_like(u4[..., 2])))
+    if has_mat(flags, MaterialType.DIELECTRIC):
+        # DIELECTRIC (material.h:282-324): one-sided Schlick + refraction.
+        # Clamped: non-dielectric lanes read garbage params, and ref_idx=0
+        # would put 1/0=inf in the graph and NaN the backward pass.
+        ref_idx = jnp.maximum(params[..., 0], 1e-2)
+        going_out = dot(ray_dir, normal) > 0.0
+        outward_n = where3(going_out, -normal, normal)
+        ni_over_nt = jnp.where(going_out, ref_idx, 1.0 / ref_idx)
+        cosine = jnp.where(going_out, dot(ray_dir, normal),
+                           -dot(ray_dir, normal))
+        refracted, can_refract = refract_dir(ray_dir, outward_n, ni_over_nt)
+        reflect_prob = jnp.where(can_refract, _schlick(cosine, ref_idx), 1.0)
+        take_reflect = u4[..., 3] < reflect_prob
+        diel_dir = normalize(where3(take_reflect, refl, refracted))
+        new_dir = where3(t == MaterialType.DIELECTRIC, diel_dir, new_dir)
 
-    new_dir = metal_dir
-    new_dir = where3(t == MaterialType.DIELECTRIC, diel_dir, new_dir)
-    new_dir = where3(t == MaterialType.ISOTROPIC, iso_dir, new_dir)
+    if has_mat(flags, MaterialType.ISOTROPIC):
+        # ISOTROPIC (material.h:359-369): uniform phase function.
+        iso_dir = normalize(_uniform_in_sphere(u4[..., 0], u4[..., 1],
+                                               jnp.ones_like(u4[..., 2])))
+        new_dir = where3(t == MaterialType.ISOTROPIC, iso_dir, new_dir)
+        alb = albedo(scene, mat_id, uv, p, flags)
+        atten = where3(t == MaterialType.ISOTROPIC, alb, atten)
 
-    atten = alb
-    atten = where3(t == MaterialType.DIELECTRIC, jnp.ones_like(alb), atten)
     return new_dir, atten
 
 
@@ -138,12 +151,12 @@ def _face_basis(normal, ray_dir):
     return OrthonormalBasis.from_w(n_face)
 
 
-def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2):
+def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2, flags=None):
     """Importance-sample the diffuse-branch BSDF; returns world wi (unit).
 
     Cosine lobe for Lambertian / Oren–Nayar / MERL (``pdf.h:30-59``),
     Beckmann VNDF half-vector sampling for the microfacet
-    (``pdf.h:136-152``).
+    (``pdf.h:136-152``; skipped statically when the scene has none).
     """
     basis = _face_basis(normal, ray_dir)
     t = _mtype(scene, mat_id)
@@ -154,21 +167,24 @@ def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2):
     sq = jnp.sqrt(u2)
     cos_dir = jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq,
                          jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))], axis=-1)
+    wi_local = cos_dir
 
-    # Beckmann: VNDF wh then reflect. Alphas clamped: lanes whose material
-    # is not Beckmann read garbage params (e.g. a light's zeros), and
-    # alpha=0 creates inf partials that would NaN the backward pass.
-    wo = basis.to_local(-ray_dir)
-    ax = jnp.maximum(params[..., 0], 1e-4)
-    ay = jnp.maximum(params[..., 1], 1e-4)
-    wh = sample_wh_visible(wo, ax, ay, u1, u2)
-    beck_wi = frame.local_reflect(wo, wh)
+    if has_mat(flags, MaterialType.BECKMANN):
+        # Beckmann: VNDF wh then reflect. Alphas clamped: lanes whose
+        # material is not Beckmann read garbage params (e.g. a light's
+        # zeros), and alpha=0 creates inf partials that would NaN the
+        # backward pass.
+        wo = basis.to_local(-ray_dir)
+        ax = jnp.maximum(params[..., 0], 1e-4)
+        ay = jnp.maximum(params[..., 1], 1e-4)
+        wh = sample_wh_visible(wo, ax, ay, u1, u2)
+        beck_wi = frame.local_reflect(wo, wh)
+        wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
 
-    wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
     return normalize(basis.to_world(wi_local))
 
 
-def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world):
+def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world, flags=None):
     """Density of :func:`sample_bsdf` at an arbitrary direction (for MIS)."""
     basis = _face_basis(normal, ray_dir)
     t = _mtype(scene, mat_id)
@@ -177,8 +193,10 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world):
     wo = basis.to_local(-ray_dir)
 
     cos_pdf = jnp.maximum(wi[..., 2], 0.0) * _INV_PI
+    if not has_mat(flags, MaterialType.BECKMANN):
+        return cos_pdf
 
-    wh = normalize(wi + wo)
+    wh = safe_normalize(wi + wo)
     ax = jnp.maximum(params[..., 0], 1e-4)
     ay = jnp.maximum(params[..., 1], 1e-4)
     beck = pdf_wh_visible(wo, wh, ax, ay) \
@@ -188,43 +206,46 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world):
     return jnp.where(t == MaterialType.BECKMANN, beck, cos_pdf)
 
 
-def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world):
+def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
+                flags=None):
     """f(wo, wi) * |cosθi| — the reference's attenuation*scattering_pdf."""
     basis = _face_basis(normal, ray_dir)
     t = _mtype(scene, mat_id)
     params = scene.mat_params[mat_id]
-    alb = albedo(scene, mat_id, uv, p)
+    alb = albedo(scene, mat_id, uv, p, flags)
     wi = basis.to_local(wi_world)
     wo = basis.to_local(-ray_dir)
     cos_i = jnp.maximum(wi[..., 2], 0.0)
 
     # LAMBERTIAN (material.h:100-105): albedo * cos/pi.
-    w_lambert = cos_i * _INV_PI
+    w = cos_i * _INV_PI
 
-    # OREN_NAYAR full term (math of pdf.h:64-101), A/B precomputed at build.
-    A, B = params[..., 0], params[..., 1]
-    sin_ti, sin_to = frame.sin_theta(wi), frame.sin_theta(wo)
-    d_cos = (frame.cos_phi(wi) * frame.cos_phi(wo)
-             + frame.sin_phi(wi) * frame.sin_phi(wo))
-    max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
-                        jnp.maximum(0.0, d_cos), 0.0)
-    abs_ci, abs_co = frame.abs_cos_theta(wi), frame.abs_cos_theta(wo)
-    i_bigger = abs_ci > abs_co
-    sin_alpha = jnp.where(i_bigger, sin_to, sin_ti)
-    tan_beta = jnp.where(i_bigger, sin_ti / jnp.maximum(abs_ci, 1e-8),
-                         sin_to / jnp.maximum(abs_co, 1e-8))
-    w_on = cos_i * (A + B * max_cos * sin_alpha * tan_beta) * _INV_PI
+    if has_mat(flags, MaterialType.OREN_NAYAR):
+        # OREN_NAYAR full term (pdf.h:64-101), A/B precomputed at build.
+        A, B = params[..., 0], params[..., 1]
+        sin_ti, sin_to = frame.sin_theta(wi), frame.sin_theta(wo)
+        d_cos = (frame.cos_phi(wi) * frame.cos_phi(wo)
+                 + frame.sin_phi(wi) * frame.sin_phi(wo))
+        max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
+                            jnp.maximum(0.0, d_cos), 0.0)
+        abs_ci, abs_co = frame.abs_cos_theta(wi), frame.abs_cos_theta(wo)
+        i_bigger = abs_ci > abs_co
+        sin_alpha = jnp.where(i_bigger, sin_to, sin_ti)
+        tan_beta = jnp.where(i_bigger, sin_ti / jnp.maximum(abs_ci, 1e-8),
+                             sin_to / jnp.maximum(abs_co, 1e-8))
+        w_on = cos_i * (A + B * max_cos * sin_alpha * tan_beta) * _INV_PI
+        w = jnp.where(t == MaterialType.OREN_NAYAR, w_on, w)
 
-    # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
-    wh = normalize(wi + wo)
-    ax = jnp.maximum(params[..., 0], 1e-4)
-    ay = jnp.maximum(params[..., 1], 1e-4)
-    w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
-              / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
-    w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)
+    if has_mat(flags, MaterialType.BECKMANN):
+        # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
+        wh = safe_normalize(wi + wo)
+        ax = jnp.maximum(params[..., 0], 1e-4)
+        ay = jnp.maximum(params[..., 1], 1e-4)
+        w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
+                  / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
+        w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)
+        w = jnp.where(t == MaterialType.BECKMANN, w_beck, w)
 
-    w = jnp.where(t == MaterialType.OREN_NAYAR, w_on, w_lambert)
-    w = jnp.where(t == MaterialType.BECKMANN, w_beck, w)
     weight = alb * w[..., None]
 
     # MERL measured BRDF: f from the Rusinkiewicz-indexed table, tinted by

@@ -21,18 +21,29 @@ _SQRT_PI_INV = 0.5641895835477563
 
 
 def beckmann_d(wh, alphax, alphay):
-    """Anisotropic Beckmann NDF (microfacet_distribution.h:155-162)."""
-    tan2 = frame.tan2_theta(wh)
+    """Anisotropic Beckmann NDF (microfacet_distribution.h:155-162).
+
+    ``tan2`` is clamped to a finite huge value before the exp: at grazing
+    half-vectors the raw inf makes ``d exp(-tan2/a^2)/da = 0 * inf = NaN``
+    in the backward pass (alpha is an optimizable parameter); with the
+    clamp the exp is still exactly 0 in f32 and its alpha-cotangent is 0.
+    """
+    tan2 = jnp.minimum(frame.tan2_theta(wh), 1e8)
     cos4 = frame.cos2_theta(wh) ** 2
     e = jnp.exp(-tan2 * (frame.cos2_phi(wh) / (alphax * alphax)
                          + frame.sin2_phi(wh) / (alphay * alphay)))
     d = e / (jnp.pi * alphax * alphay * jnp.maximum(cos4, 1e-16))
-    return jnp.where(jnp.isfinite(tan2), d, 0.0)
+    return jnp.where(tan2 >= 1e8, 0.0, d)
 
 
 def beckmann_lambda(w, alphax, alphay):
-    """Rational-approx Lambda (microfacet_distribution.h:164-173)."""
-    abs_tan = jnp.abs(frame.tan_theta(w))
+    """Rational-approx Lambda (microfacet_distribution.h:164-173).
+
+    ``abs_tan`` clamped finite: at cos-theta == 0 lanes the raw inf turns
+    the alpha-cotangent of ``1/(alpha*tan)`` into 0 * inf = NaN even
+    though the primal is correctly clipped below.
+    """
+    abs_tan = jnp.minimum(jnp.abs(frame.tan_theta(w)), 1e8)
     alpha = jnp.sqrt(frame.cos2_phi(w) * alphax * alphax
                      + frame.sin2_phi(w) * alphay * alphay)
     a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)

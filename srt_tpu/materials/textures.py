@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from srt_tpu.scene.ir import Scene, TextureType
+from srt_tpu.scene.ir import Scene, TextureType, has_tex
 
 
 def perlin_noise(scene: Scene, p):
@@ -71,34 +71,46 @@ def _image_value(scene: Scene, tex_id, u, v):
                       scene.atlas[base + 2]], axis=-1)
 
 
-def texture_value(scene: Scene, tex_id, uv, p):
-    """Evaluate texture ``tex_id`` (N,) at hit uv (N,2) / position (N,3)."""
+def texture_value(scene: Scene, tex_id, uv, p, flags=None):
+    """Evaluate texture ``tex_id`` (N,) at hit uv (N,2) / position (N,3).
+
+    ``flags`` (:class:`srt_tpu.scene.ir.SceneFlags`) statically skips
+    texture families the scene doesn't use — bit-identical, since skipped
+    families' selection masks are all-False. With ``flags=None``, falls
+    back to inspecting the table when it is a concrete closure constant.
+    """
     ttype = scene.tex_type[tex_id]
     color = scene.tex_color[tex_id]
-
-    # CHECKER: 3-D sine parity between two colors (texture.h:13-19).
-    sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
-             * jnp.sin(10.0 * p[..., 2]))
-    checker = jnp.where((sines < 0.0)[..., None], scene.tex_color2[tex_id],
-                        color)
-
-    # NOISE: marble 0.5*(1+sin(scale*z + 5*turb(scale*p))) (texture.h:42).
-    # Skip the 7-octave turbulence entirely when the scene's texture table
-    # (usually a concrete closure constant under jit) has no noise textures.
-    scale = scene.tex_scale[tex_id][..., None]
-    try:
-        need_noise = bool((scene.tex_type == TextureType.NOISE).any())
-    except Exception:
-        need_noise = True  # table is traced — evaluate unconditionally
-    sp = scale * p
-    turb = perlin_turb(scene, sp) if need_noise else jnp.zeros_like(p[..., 0])
-    marble = (0.5 * (1.0 + jnp.sin(scale[..., 0] * p[..., 2] + 5.0 * turb))
-              )[..., None] * jnp.ones_like(color)
-
-    image = _image_value(scene, tex_id, uv[..., 0], uv[..., 1])
-
     out = color
-    out = jnp.where((ttype == TextureType.CHECKER)[..., None], checker, out)
-    out = jnp.where((ttype == TextureType.NOISE)[..., None], marble, out)
-    out = jnp.where((ttype == TextureType.IMAGE)[..., None], image, out)
+
+    def table_has(kind):
+        if flags is not None:
+            return has_tex(flags, kind)
+        try:  # concrete (closure-constant) table — inspect directly
+            return bool((scene.tex_type == kind).any())
+        except Exception:
+            return True  # traced table — evaluate unconditionally
+
+    if table_has(TextureType.CHECKER):
+        # CHECKER: 3-D sine parity between two colors (texture.h:13-19).
+        sines = (jnp.sin(10.0 * p[..., 0]) * jnp.sin(10.0 * p[..., 1])
+                 * jnp.sin(10.0 * p[..., 2]))
+        checker = jnp.where((sines < 0.0)[..., None],
+                            scene.tex_color2[tex_id], color)
+        out = jnp.where((ttype == TextureType.CHECKER)[..., None], checker,
+                        out)
+
+    if table_has(TextureType.NOISE):
+        # NOISE: marble 0.5*(1+sin(scale*z + 5*turb)) (texture.h:42).
+        scale = scene.tex_scale[tex_id][..., None]
+        turb = perlin_turb(scene, scale * p)
+        marble = (0.5 * (1.0 + jnp.sin(scale[..., 0] * p[..., 2]
+                                       + 5.0 * turb)))[..., None] \
+            * jnp.ones_like(color)
+        out = jnp.where((ttype == TextureType.NOISE)[..., None], marble, out)
+
+    if table_has(TextureType.IMAGE):
+        image = _image_value(scene, tex_id, uv[..., 0], uv[..., 1])
+        out = jnp.where((ttype == TextureType.IMAGE)[..., None], image, out)
+
     return out

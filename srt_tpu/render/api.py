@@ -44,10 +44,10 @@ _DIM_TIME = 34
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "rr_start",
-                                   "n_samples", "with_aux"))
+                                   "n_samples", "with_aux", "flags"))
 def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
                   sobol_pts, seed, *, width, height, max_depth, rr_start,
-                  n_samples, with_aux=False):
+                  n_samples, with_aux=False, flags=None):
     """Radiance sum over ``n_samples`` consecutive samples for a pixel chunk.
 
     Flattens (pixels × samples) into one wavefront so the whole chunk is a
@@ -72,7 +72,7 @@ def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
     rays = camera.rays(s, t, u_l1, u_l2, u_t)
 
     out = trace(scene, rays, sampler, max_depth=max_depth,
-                rr_start=rr_start, with_aux=with_aux)
+                rr_start=rr_start, with_aux=with_aux, flags=flags)
     if with_aux:
         radiance, aux = out
         return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1), aux
@@ -104,6 +104,9 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
         # pure-RNG pixel jitter: derive from the sampler stream
         jit_pts = _rng_jitter(spp, config.seed)
 
+    from srt_tpu.scene.ir import SceneFlags
+    flags = SceneFlags.of(scene)
+
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
     chunk = min(config.sample_chunk, spp)
     m = RenderMetrics(width=w, height=h, spp=spp, max_depth=config.max_depth,
@@ -120,7 +123,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
                 scene, camera, pixel_ids, s0, jit_pts,
                 config.seed, width=w, height=h,
                 max_depth=config.max_depth, rr_start=config.rr_start,
-                n_samples=n_s, with_aux=metrics)
+                n_samples=n_s, with_aux=metrics, flags=flags)
             if metrics:
                 out, aux = out
                 m.add_chunk(aux)

@@ -21,7 +21,7 @@ import numpy as np
 
 from srt_tpu.core.ray import Ray
 from srt_tpu.core.rng import RaySampler
-from srt_tpu.core.vecmath import de_nan, dot, where3
+from srt_tpu.core.vecmath import de_nan, dot, safe_sqrt, where3
 from srt_tpu.materials import materials as mats
 from srt_tpu.render import lights
 from srt_tpu.render.intersect import Hit, intersect_scene, _BIG
@@ -46,15 +46,31 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
     hit = surf
     for m in range(scene.n_media):
         oc = ray.origin - scene.med_center[m]
+        # Sphere boundary crossings.
         b = dot(oc, ray.direction)
         c = jnp.sum(oc * oc, axis=-1) - scene.med_radius[m] ** 2
         disc = b * b - c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = safe_sqrt(disc)  # NaN-free backward on miss lanes
+        sph_in, sph_out = -b - sq, -b + sq
+        sph_ok = disc > 0.0
+        # Box boundary crossings (slab test against the half-extents).
+        inv_d = 1.0 / jnp.where(jnp.abs(ray.direction) < 1e-20, 1e-20,
+                                ray.direction)
+        tt0 = (-scene.med_half[m] - oc) * inv_d
+        tt1 = (scene.med_half[m] - oc) * inv_d
+        box_in = jnp.max(jnp.minimum(tt0, tt1), axis=-1)
+        box_out = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+        box_ok = box_out > box_in
+
+        is_box = scene.med_kind[m] == 1
+        t_in = jnp.where(is_box, box_in, sph_in)
+        t_out = jnp.where(is_box, box_out, sph_out)
+        ok = jnp.where(is_box, box_ok, sph_ok)
         # Boundary crossings from -inf (constant_medium.h:23): entry clamps
         # to 0 when the ray starts inside.
-        t_enter = jnp.maximum(-b - sq, 0.0)
-        t_exit = jnp.minimum(-b + sq, hit.t)
-        inside = (disc > 0.0) & (t_exit > t_enter)
+        t_enter = jnp.maximum(t_in, 0.0)
+        t_exit = jnp.minimum(t_out, hit.t)
+        inside = ok & (t_exit > t_enter)
 
         u = jnp.maximum(sampler.uniform(_DIM_MEDIUM + m), 1e-12)
         free_flight = -jnp.log(u) / scene.med_density[m]
@@ -72,7 +88,7 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
 
 
 def bounce_step(scene: Scene, state: dict, max_depth: int,
-                rr_start: int) -> dict:
+                rr_start: int, flags=None) -> dict:
     """One path-tracing bounce for every lane of a wavefront.
 
     ``state`` keys: ``o d time beta radiance alive salt depth`` — ``salt``
@@ -104,43 +120,56 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
 
     # Emission (added whether or not the path continues,
     # Raytracing_n.cpp:61,94,99).
-    emit = mats.emitted(scene, hit.mat, hit.uv, hit.p, hit.normal, r.direction)
+    emit = mats.emitted(scene, hit.mat, hit.uv, hit.p, hit.normal,
+                        r.direction, flags)
     radiance = radiance + jnp.where((alive & hit.hit)[:, None],
                                     beta * emit, 0.0)
 
     scatters = hit.hit & mats.is_scattering(scene, hit.mat)
-    specular = scatters & mats.is_specular(scene, hit.mat)
+    from srt_tpu.scene.ir import MaterialType, has_mat
+    any_specular = (has_mat(flags, MaterialType.METAL)
+                    or has_mat(flags, MaterialType.DIELECTRIC)
+                    or has_mat(flags, MaterialType.ISOTROPIC))
+    specular = scatters & mats.is_specular(scene, hit.mat) \
+        if any_specular else jnp.zeros_like(scatters)
     diffuse = scatters & ~specular
 
     # --- specular branch (Raytracing_n.cpp:66-70) -------------------
-    u_spec = jnp.stack([s.uniform(_DIM_SPEC + i) for i in range(4)], -1)
-    spec_dir, spec_atten = mats.scatter_specular(
-        scene, hit.mat, hit.p, hit.normal, hit.uv, r.direction, u_spec)
+    if any_specular:
+        u_spec = jnp.stack([s.uniform(_DIM_SPEC + i) for i in range(4)], -1)
+        spec_dir, spec_atten = mats.scatter_specular(
+            scene, hit.mat, hit.p, hit.normal, hit.uv, r.direction, u_spec,
+            flags)
+    else:
+        spec_dir, spec_atten = r.direction, jnp.zeros_like(beta)
 
     # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
     u1 = s.uniform(_DIM_SAMPLE)
     u2 = s.uniform(_DIM_SAMPLE + 1)
-    # Detached sampling: gradients flow through the integrand
-    # (weight/pdf below), not through the sampled directions — the
-    # standard detached MIS estimator for differentiable MC rendering,
-    # and it keeps the Beckmann inverse-CDF (arccos/erfinv chains) out
-    # of the backward graph.
+    # Mixed attached/detached sampling: the BSDF lobe is detached (the
+    # standard detached estimator — it keeps the Beckmann inverse-CDF
+    # arccos/erfinv chains out of the backward graph, and BSDF sample
+    # directions don't depend on the differentiated scene parameters),
+    # while the light sample is *reparameterized*: cone/area sample
+    # directions move smoothly with light position/size, so light-geometry
+    # gradients (BASELINE config 5) flow through the sample itself.
     bsdf_dir = jax.lax.stop_gradient(
-        mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2))
+        mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2,
+                         flags))
     if scene.n_lights:
-        light_dir = jax.lax.stop_gradient(
-            lights.sample_lights(scene, hit.p,
-                                 s.uniform(_DIM_LIGHT_PICK), u1, u2))
+        light_dir = lights.sample_lights(scene, hit.p,
+                                         s.uniform(_DIM_LIGHT_PICK), u1, u2)
         pick_light = s.uniform(_DIM_MIX) < 0.5
         wi = where3(pick_light, light_dir, bsdf_dir)
         pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
                + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
-                                     r.direction, wi))
+                                     r.direction, wi, flags))
     else:
         wi = bsdf_dir
-        pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi)
+        pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi,
+                            flags)
     weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
-                              r.direction, wi)
+                              r.direction, wi, flags)
     ok = pdf > 1e-9
     diff_beta = jnp.where(ok[:, None],
                           weight / jnp.maximum(pdf, 1e-9)[:, None], 0.0)
@@ -173,7 +202,7 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
 
 
 def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
-          rr_start: int = 64, with_aux: bool = False):
+          rr_start: int = 64, with_aux: bool = False, flags=None):
     """Estimate radiance for a wavefront of primary rays -> (N, 3).
 
     Bounded ``lax.scan`` over :func:`bounce_step` with every lane in depth
@@ -200,7 +229,7 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
 
     def bounce(state, _):
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
-        return bounce_step(scene, state, max_depth, rr_start), n_alive
+        return bounce_step(scene, state, max_depth, rr_start, flags), n_alive
 
     state, alive_hist = jax.lax.scan(bounce, state, None, length=max_depth)
     # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — counted, not silent.

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from srt_tpu.core.ray import Ray
-from srt_tpu.core.vecmath import cross, dot, normalize
+from srt_tpu.core.vecmath import cross, dot, normalize, safe_sqrt
 from srt_tpu.scene.ir import Scene
 
 _BIG = np.float32(3.0e38)
@@ -62,9 +62,22 @@ class Hit(NamedTuple):
 
 
 def _sphere_uv(unit_p):
-    """Spherical uv (reference ``get_sphere_uv``, ``hitable.h:10-15``)."""
-    phi = jnp.arctan2(unit_p[..., 2], unit_p[..., 0])
-    theta = jnp.arcsin(jnp.clip(unit_p[..., 1], -1.0, 1.0))
+    """Spherical uv (reference ``get_sphere_uv``, ``hitable.h:10-15``).
+
+    Gradient-safe at the poles: ``arcsin`` evaluated at a clipped ±1 and
+    ``arctan2`` at (0,0) both emit NaN *cotangents* (inf * clip-zero);
+    pole-adjacent lanes (|y| within ~1e-6 of 1) take a constant-angle
+    branch instead — a <2e-3 rad primal difference confined to the poles.
+    """
+    x, y, z = unit_p[..., 0], unit_p[..., 1], unit_p[..., 2]
+    r2 = x * x + z * z
+    off_axis = r2 > 1e-12
+    phi = jnp.arctan2(jnp.where(off_axis, z, 0.0),
+                      jnp.where(off_axis, x, 1.0))
+    y = jnp.clip(y, -1.0, 1.0)
+    inner = jnp.abs(y) < 0.999999
+    theta = jnp.where(inner, jnp.arcsin(jnp.where(inner, y, 0.0)),
+                      jnp.sign(y) * (0.5 * jnp.pi))
     u = 1.0 - (phi + jnp.pi) / (2.0 * jnp.pi)
     v = (theta + jnp.pi / 2.0) / jnp.pi
     return jnp.stack([u, v], axis=-1)
@@ -103,7 +116,7 @@ def _sphere_chunk(scene: Scene, ray: Ray, t_min, t_max, c0: int, c1: int) -> Hit
     b = jnp.sum(oc * d, axis=-1)                             # (N, C)
     c = jnp.sum(oc * oc, axis=-1) - rad[None] ** 2
     disc = b * b - c                                         # unit dir => a = 1
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = safe_sqrt(disc)  # NaN-free backward on miss lanes
     t0 = -b - sq
     t1 = -b + sq
     valid0 = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)

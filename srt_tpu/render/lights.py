@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from srt_tpu.core.onb import OrthonormalBasis
-from srt_tpu.core.vecmath import dot, normalize, where3
+from srt_tpu.core.vecmath import dot, normalize, safe_sqrt, where3
 from srt_tpu.render.intersect import _RECT_NAXIS, _RECT_UAXIS, _RECT_VAXIS
 from srt_tpu.scene.ir import LightKind, Scene
 
@@ -60,11 +60,11 @@ def _sphere_sample(scene: Scene, sidx: int, p, u1, u2):
     radius = scene.sph_radius[sidx]
     to_c = center - p
     dist_sq = jnp.sum(to_c * to_c, axis=-1)
-    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius
-                                   / jnp.maximum(dist_sq, 1e-12)))
+    cos_max = safe_sqrt(1.0 - radius * radius
+                        / jnp.maximum(dist_sq, 1e-12))
     z = 1.0 + u2 * (cos_max - 1.0)
     phi = 2.0 * jnp.pi * u1
-    sq = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    sq = safe_sqrt(1.0 - z * z)
     local = jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
     return OrthonormalBasis.from_w(to_c).to_world(local)
 
@@ -78,11 +78,12 @@ def _sphere_pdf(scene: Scene, sidx: int, p, wi):
     c = jnp.sum(oc * oc, axis=-1) - radius * radius
     disc = b * b - c
     hits = disc > 0.0
-    t0 = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = -b + jnp.sqrt(jnp.maximum(disc, 0.0))
+    sqd = safe_sqrt(disc)
+    t0 = -b - sqd
+    t1 = -b + sqd
     hits = hits & ((t0 > 1e-3) | (t1 > 1e-3))
-    cos_max = jnp.sqrt(jnp.maximum(
-        0.0, 1.0 - radius * radius / jnp.maximum(c + radius * radius, 1e-12)))
+    cos_max = safe_sqrt(
+        1.0 - radius * radius / jnp.maximum(c + radius * radius, 1e-12))
     solid = 2.0 * jnp.pi * (1.0 - cos_max)
     return jnp.where(hits, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
 

@@ -42,10 +42,10 @@ _DIM_TIME = 34
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth",
-                                   "rr_start", "wavefront"))
+                                   "rr_start", "wavefront", "flags"))
 def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                   width: int, height: int, spp: int, max_depth: int,
-                  rr_start: int, wavefront: int):
+                  rr_start: int, wavefront: int, flags=None):
     """Full image via one while_loop with lane regeneration -> (H*W, 3) sums."""
     n_pixels = width * height
     total_work = n_pixels * spp
@@ -117,7 +117,7 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
             scene,
             {k: st[k] for k in
              ("o", "d", "time", "beta", "radiance", "alive", "salt", "depth")},
-            max_depth, rr_start)
+            max_depth, rr_start, flags)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
         # --- flush finished paths into the image -------------------------
@@ -163,13 +163,15 @@ def render_regen(scene: Scene, camera: Camera, config,
     else:
         jit_pts = _rng_jitter(spp, config.seed)
 
+    from srt_tpu.scene.ir import SceneFlags
+
     wavefront = getattr(config, "wavefront", 1 << 17)
     t0 = _time.time()
     acc, n_vertices, nan_scrubbed = _render_regen(
         scene, camera, jit_pts, config.seed,
         width=w, height=h, spp=spp,
         max_depth=config.max_depth, rr_start=config.rr_start,
-        wavefront=wavefront)
+        wavefront=wavefront, flags=SceneFlags.of(scene))
     img = (acc / spp).reshape(h, w, 3)
     if metrics:
         img.block_until_ready()

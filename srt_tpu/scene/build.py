@@ -270,8 +270,20 @@ class SceneBuilder:
     def medium_sphere(self, center, radius, density, albedo_tex: int) -> None:
         """constant_medium with a sphere boundary (``constant_medium.h``)."""
         mat = self.isotropic(albedo_tex)
-        self._med.append((np.asarray(center, np.float32), float(radius),
-                          float(density), mat))
+        self._med.append((0, np.asarray(center, np.float32), float(radius),
+                          np.zeros(3, np.float32), float(density), mat))
+
+    def medium_box(self, p0, p1, density, albedo_tex: int) -> None:
+        """constant_medium with an axis-aligned box boundary — the generic
+        convex-hitable case of ``constant_medium.h:4-50`` (the reference
+        accepts any hitable; its two-crossing free-flight logic is only
+        correct for convex boundaries)."""
+        mat = self.isotropic(albedo_tex)
+        p0 = np.asarray(p0, np.float32)
+        p1 = np.asarray(p1, np.float32)
+        center = 0.5 * (p0 + p1)
+        half = np.abs(0.5 * (p1 - p0))
+        self._med.append((1, center, 0.0, half, float(density), mat))
 
     # NEE light registration (the reference's hlist, Raytracing_n.cpp:930).
     def light_rect(self, rect_id: int) -> None:
@@ -327,10 +339,12 @@ class SceneBuilder:
         p, uv, n, tm = p[order], uv[order], n[order], tm[order]
 
         # media
-        m_c = arr([m[0] for m in self._med], f32, (3,))
-        m_r = arr([m[1] for m in self._med], f32, ())
-        m_d = arr([m[2] for m in self._med], f32, ())
-        m_m = arr([m[3] for m in self._med], i32, ())
+        m_k = arr([m[0] for m in self._med], i32, ())
+        m_c = arr([m[1] for m in self._med], f32, (3,))
+        m_r = arr([m[2] for m in self._med], f32, ())
+        m_h = arr([m[3] for m in self._med], f32, (3,))
+        m_d = arr([m[4] for m in self._med], f32, ())
+        m_m = arr([m[5] for m in self._med], i32, ())
 
         # perlin tables, fixed host seed (reference generates from racy
         # drand48 at static-init, perlin.h:94-97 — per-run random; we pin it)
@@ -359,8 +373,8 @@ class SceneBuilder:
             tri_uv=j(uv), tri_n=j(n), tri_mat=j(tm),
             bvh_lo=j(bvh.lo), bvh_hi=j(bvh.hi), bvh_skip=j(bvh.skip),
             bvh_first=j(bvh.first), bvh_count=j(bvh.count),
-            med_center=j(m_c), med_radius=j(m_r), med_density=j(m_d),
-            med_mat=j(m_m),
+            med_kind=j(m_k), med_center=j(m_c), med_radius=j(m_r),
+            med_half=j(m_h), med_density=j(m_d), med_mat=j(m_m),
             mat_type=j(arr(self._mat_type, i32, ())),
             mat_tex=j(arr(self._mat_tex, i32, ())),
             mat_params=j(arr(self._mat_params, f32, (4,))),

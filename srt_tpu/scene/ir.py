@@ -51,6 +51,43 @@ class LightKind(enum.IntEnum):
     SPHERE = 1  # solid-angle cone sampling, sphere.h:69-86
 
 
+class SceneFlags(NamedTuple):
+    """Static shader-specialization key: which texture/material models a
+    scene actually uses.
+
+    The wavefront shader evaluates every model on masked lanes and selects
+    by tag — correct but wasteful when a family is absent (e.g. 7-octave
+    Perlin turbulence in a constant-texture Cornell). ``SceneFlags`` is
+    hashable and threaded through the jit boundary as a *static* argument,
+    so each scene compiles a shader with only its own families; skipped
+    families have all-False masks, making specialization bit-identical.
+    ``None`` anywhere means "evaluate everything" (the safe default when
+    the scene is a traced value and its tables can't be inspected).
+    """
+    tex_kinds: tuple
+    mat_kinds: tuple
+
+    @staticmethod
+    def of(scene) -> "SceneFlags | None":
+        """Flags from a concrete scene; None if the tables are traced."""
+        import numpy as np
+        try:
+            tt = np.asarray(scene.tex_type)
+            mt = np.asarray(scene.mat_type)
+        except Exception:
+            return None
+        return SceneFlags(tex_kinds=tuple(sorted(set(tt.tolist()))),
+                          mat_kinds=tuple(sorted(set(mt.tolist()))))
+
+
+def has_tex(flags, kind) -> bool:
+    return flags is None or int(kind) in flags.tex_kinds
+
+
+def has_mat(flags, kind) -> bool:
+    return flags is None or int(kind) in flags.mat_kinds
+
+
 class Scene(NamedTuple):
     """All-device scene state. Leading dims are static per compiled scene."""
 
@@ -89,10 +126,16 @@ class Scene(NamedTuple):
     bvh_first: jnp.ndarray     # (B,) int32 first triangle of a leaf, -1 internal
     bvh_count: jnp.ndarray     # (B,) int32 leaf triangle count (<= leaf_size)
 
-    # --- homogeneous participating media with sphere boundaries (M) ------
-    # constant_medium.h:19-50: exponential free-flight inside the boundary.
-    med_center: jnp.ndarray    # (M, 3)
-    med_radius: jnp.ndarray    # (M,)
+    # --- homogeneous participating media (M) -----------------------------
+    # constant_medium.h:19-50: exponential free-flight between the two
+    # boundary crossings. The reference accepts any hitable boundary; the
+    # active scenes use spheres, and boxes cover the remaining convex case
+    # (a non-convex boundary under the reference's two-crossing logic is
+    # already wrong there — see constant_medium.h:23-27).
+    med_kind: jnp.ndarray      # (M,) int32: 0 = sphere, 1 = box
+    med_center: jnp.ndarray    # (M, 3) sphere center / box center
+    med_radius: jnp.ndarray    # (M,) sphere radius (0 for boxes)
+    med_half: jnp.ndarray      # (M, 3) box half-extents (0 for spheres)
     med_density: jnp.ndarray   # (M,)
     med_mat: jnp.ndarray       # (M,) int32 (an ISOTROPIC material)
 

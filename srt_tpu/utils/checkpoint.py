@@ -79,7 +79,9 @@ def render_resumable(scene, camera, config, ckpt_path: str,
     """
     from srt_tpu.core.sobol import sobol_points
     from srt_tpu.render.api import _render_chunk, _rng_jitter
+    from srt_tpu.scene.ir import SceneFlags
 
+    flags = SceneFlags.of(scene)  # same shader specialization as render()
     w, h, spp = config.width, config.height, config.spp
     n_pixels = w * h
 
@@ -108,7 +110,7 @@ def render_resumable(scene, camera, config, ckpt_path: str,
             part = part.at[p0:p1].add(_render_chunk(
                 scene, camera, pixel_ids, s0, jit_pts, config.seed,
                 width=w, height=h, max_depth=config.max_depth,
-                rr_start=config.rr_start, n_samples=n_s))
+                rr_start=config.rr_start, n_samples=n_s, flags=flags))
         acc = acc + part
         s0 += n_s
         since_ckpt += n_s

@@ -36,10 +36,11 @@ def test_resume_from_partial_checkpoint(tmp_path):
     # would have computed it before dying.
     pts = jnp.asarray(sobol_points(cfg.spp, 2), jnp.float32)[:cfg.spp]
     pixel_ids = jnp.arange(cfg.width * cfg.height, dtype=jnp.int32)
+    from srt_tpu.scene.ir import SceneFlags
     acc = np.asarray(_render_chunk(
         scene, cam, pixel_ids, 0, pts, cfg.seed, width=cfg.width,
         height=cfg.height, max_depth=cfg.max_depth, rr_start=cfg.rr_start,
-        n_samples=2))
+        n_samples=2, flags=SceneFlags.of(scene)))
     ck = str(tmp_path / "r.npz")
     save_render_ckpt(ck, acc, 2, cfg)
 
