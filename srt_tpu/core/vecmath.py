@@ -68,6 +68,18 @@ def where3(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+def floor_clamp(x, lo):
+    """``maximum(x, lo)`` whose vjp is a pure select.
+
+    ``lax.max`` splits tie-gradients with a multiply, so a NaN cotangent
+    leaks into the *clamped* operand (grad(maximum(x, lo) * nan) == nan
+    even for x < lo); parameter-table clamps must block that — rows of
+    unrelated materials read garbage params on masked lanes whose
+    cotangents can be non-finite."""
+    ok = x > lo
+    return jnp.where(ok, x, lo)
+
+
 def safe_normalize(v, eps: float = 1e-12):
     """Unit vector with a NaN-free backward pass: degenerate inputs
     (|v|^2 <= eps, e.g. the half-vector of wi == -wo) map to +z with zero

@@ -86,8 +86,14 @@ def _triangulate_polys(polys: list[list[int]]) -> np.ndarray:
     return np.asarray(tris, np.int64).reshape(-1, 3)
 
 
-def load_mesh(path: str) -> TriMesh:
-    """Dispatch on extension (the reference leaves this to assimp)."""
+def load_mesh(path: str, first_mesh_only: bool = False) -> TriMesh:
+    """Dispatch on extension (the reference leaves this to assimp).
+
+    ``first_mesh_only`` reproduces the reference's mesh-0-only truncation
+    (``model.h:90,101``) — off by default (it is a bug), but needed for
+    apples-to-apples comparisons against the reference's golden renders,
+    whose soldier is missing its gun because of it.
+    """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".ply":
         return load_ply(path)
@@ -96,7 +102,7 @@ def load_mesh(path: str) -> TriMesh:
     if ext == ".wrl":
         return load_wrl(path)
     if ext == ".fbx":
-        return load_fbx(path)
+        return load_fbx(path, first_mesh_only=first_mesh_only)
     raise ValueError(f"unsupported mesh format: {path}")
 
 
@@ -412,9 +418,10 @@ def _fbx_layer(geo, layer_name, value_name, index_name, n_corners, width):
     return None  # ByVertex etc. resolved by the caller
 
 
-def load_fbx(path: str) -> TriMesh:
+def load_fbx(path: str, first_mesh_only: bool = False) -> TriMesh:
     """Binary FBX (7.x) geometry reader, all meshes merged
-    (fixing the reference's mesh-0-only bug, ``model.h:90,101``)."""
+    (fixing the reference's mesh-0-only bug, ``model.h:90,101``;
+    ``first_mesh_only`` opts back into it for golden parity)."""
     with open(path, "rb") as f:
         roots, _version = _parse_fbx(f.read())
     objects = _fbx_find(roots, "Objects")
@@ -453,6 +460,8 @@ def load_fbx(path: str) -> TriMesh:
         n_all.append(None if nrm is None else nrm[tri_corners])
     if not pos_all:
         raise ValueError(f"{path}: no polygon geometry found")
+    if first_mesh_only:
+        pos_all, uv_all, n_all = pos_all[:1], uv_all[:1], n_all[:1]
     pos = np.concatenate(pos_all)
     uv = (np.concatenate([u for u in uv_all])
           if all(u is not None for u in uv_all) else None)

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 
 from srt_tpu.core import frame
 from srt_tpu.core.onb import OrthonormalBasis
-from srt_tpu.core.vecmath import (dot, normalize, reflect, refract_dir,
-                                  safe_normalize, where3)
+from srt_tpu.core.vecmath import (dot, floor_clamp, normalize, reflect,
+                                  refract_dir, safe_normalize, where3)
 from srt_tpu.materials import merl as merl_mod
 from srt_tpu.materials.microfacet import (
     beckmann_d, g, g1, pdf_wh_visible, sample_wh_visible)
@@ -122,7 +122,7 @@ def scatter_specular(scene: Scene, mat_id, p, normal, uv, ray_dir, u4,
         # DIELECTRIC (material.h:282-324): one-sided Schlick + refraction.
         # Clamped: non-dielectric lanes read garbage params, and ref_idx=0
         # would put 1/0=inf in the graph and NaN the backward pass.
-        ref_idx = jnp.maximum(params[..., 0], 1e-2)
+        ref_idx = floor_clamp(params[..., 0], 1e-2)
         going_out = dot(ray_dir, normal) > 0.0
         outward_n = where3(going_out, -normal, normal)
         ni_over_nt = jnp.where(going_out, ref_idx, 1.0 / ref_idx)
@@ -175,8 +175,8 @@ def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2, flags=None):
         # zeros), and alpha=0 creates inf partials that would NaN the
         # backward pass.
         wo = basis.to_local(-ray_dir)
-        ax = jnp.maximum(params[..., 0], 1e-4)
-        ay = jnp.maximum(params[..., 1], 1e-4)
+        ax = floor_clamp(params[..., 0], 1e-4)
+        ay = floor_clamp(params[..., 1], 1e-4)
         wh = sample_wh_visible(wo, ax, ay, u1, u2)
         beck_wi = frame.local_reflect(wo, wh)
         wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
@@ -197,8 +197,8 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world, flags=None):
         return cos_pdf
 
     wh = safe_normalize(wi + wo)
-    ax = jnp.maximum(params[..., 0], 1e-4)
-    ay = jnp.maximum(params[..., 1], 1e-4)
+    ax = floor_clamp(params[..., 0], 1e-4)
+    ay = floor_clamp(params[..., 1], 1e-4)
     beck = pdf_wh_visible(wo, wh, ax, ay) \
         / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-8)
     beck = jnp.where(frame.same_hemisphere(wo, wi), beck, 0.0)
@@ -239,8 +239,8 @@ def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
     if has_mat(flags, MaterialType.BECKMANN):
         # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
         wh = safe_normalize(wi + wo)
-        ax = jnp.maximum(params[..., 0], 1e-4)
-        ay = jnp.maximum(params[..., 1], 1e-4)
+        ax = floor_clamp(params[..., 0], 1e-4)
+        ay = floor_clamp(params[..., 1], 1e-4)
         w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
                   / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
         w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)

@@ -349,7 +349,8 @@ def jadebunny_scene(aspect: float = 1.0, max_tex: int | None = None, **_kw):
 
 
 @_register
-def soldier_scene(aspect: float = 1.0, max_tex: int | None = None, **_kw):
+def soldier_scene(aspect: float = 1.0, max_tex: int | None = None,
+                  first_mesh_only: bool = False, **_kw):
     """Reference scene 6 (``Raytracing_n.cpp:585-657``): FBX soldier over a
     glass-coated wood floor, sky4 dome, thin-lens bokeh (aperture 10)."""
     from srt_tpu.io.mesh import load_mesh
@@ -381,7 +382,8 @@ def soldier_scene(aspect: float = 1.0, max_tex: int | None = None, **_kw):
         skin = b.image(_maybe_downsample(load_image_asset(
             "textures/NPC_YuanChengBing_A.png", (0.5, 0.4, 0.3)), max_tex))
         beck_tex = b.beckmann(skin, 0.9, 0.85)                    # :604,638
-        b.trimesh(load_mesh(fbx), beck_tex, scale=8.0,
+        b.trimesh(load_mesh(fbx, first_mesh_only=first_mesh_only),
+                  beck_tex, scale=8.0,
                   rotate=rotation_y(180.0), translate=(250, 0, 300),
                   flip_winding=True)                              # :640-642
     b.light_rect(lid)

@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--out-dir", default="goldens")
     ap.add_argument("--engine", default="regen", choices=["regen", "scan"])
     ap.add_argument("--downsample", type=int, default=4)
+    ap.add_argument("--ref-parity", action="store_true",
+                    help="reproduce reference bugs that shape its goldens "
+                         "(first-mesh-only model loading)")
     args = ap.parse_args()
 
     import numpy as np
@@ -44,7 +47,8 @@ def main() -> None:
     from srt_tpu.scene.library import get_scene
     from srt_tpu.utils.compare import golden_psnr
 
-    scene, camera, info = get_scene(args.scene, aspect=1.0)
+    kw = {"first_mesh_only": True} if args.ref_parity else {}
+    scene, camera, info = get_scene(args.scene, aspect=1.0, **kw)
     if info.get("skipped"):
         print(f"WARNING: assets skipped: {info['skipped']}", file=sys.stderr)
 
