@@ -170,3 +170,21 @@ def test_merl_bad_dims(tmp_path):
     np.asarray([2, 2, 2], np.int32).tofile(str(p))
     with pytest.raises(ValueError):
         merl_io.read_merl(str(p))
+
+
+def test_fbx_first_mesh_only_parity_option():
+    """first_mesh_only reproduces the reference's model.h:90,101 truncation
+    (golden-parity knob); default merges all meshes."""
+    import os
+    fbx = "/root/reference/contents/models/Soilder.FBX"
+    if not os.path.exists(fbx):
+        import pytest
+        pytest.skip("reference FBX not available")
+    from srt_tpu.io.mesh import load_mesh
+    full = load_mesh(fbx)
+    first = load_mesh(fbx, first_mesh_only=True)
+    assert first.n_tris < full.n_tris
+    # Mesh 0 is a prefix of the merged soup.
+    import numpy as np
+    np.testing.assert_array_equal(full.positions[:first.n_tris],
+                                  first.positions)
