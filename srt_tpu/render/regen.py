@@ -48,7 +48,8 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                   rr_start: int, wavefront: int, flags=None):
     """Full image via one while_loop with lane regeneration -> (H*W, 3) sums."""
     n_pixels = width * height
-    n = min(wavefront, n_pixels)
+    total_work = n_pixels * spp
+    n = min(wavefront, total_work)
 
     def camera_rays(pix, samp):
         """Primary rays + sampler salt for (pixel, sample) lanes."""
@@ -70,103 +71,76 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         nan_scrubbed=jnp.uint32(0),
         acc=jnp.zeros((n_pixels, 3), jnp.float32),
         pix=jnp.zeros((n,), jnp.int32),
-        # samp == spp marks "no pixel owned": the first body iteration
-        # routes every lane through the pull-new-pixel branch.
-        samp=jnp.full((n,), spp, jnp.int32),
-        acc_lane=zeros3,            # running per-pixel radiance sum
+        samp=jnp.zeros((n,), jnp.int32),
         o=zeros3, d=zeros3.at[:, 2].set(1.0),
         time=jnp.zeros((n,), jnp.float32),
         beta=zeros3, radiance=zeros3,
         alive=jnp.zeros((n,), bool),
         salt=jnp.zeros((n,), jnp.uint32),
         depth=jnp.zeros((n,), jnp.int32),
-        started=jnp.zeros((n,), bool),  # lane has ever owned a pixel
     )
 
     def cond(st):
-        return (st["cursor"] < n_pixels) | jnp.any(st["alive"])
+        return (st["cursor"] < total_work) | jnp.any(st["alive"])
 
     def body(st):
-        # --- regenerate dead lanes ---------------------------------------
-        # A lane owns one *pixel* and walks its spp samples sequentially;
-        # it only goes back to the queue (and only scatters) when the whole
-        # pixel is done. Every in-flight pixel is owned by exactly one
-        # lane, so the flush scatter has unique indices by construction.
+        # --- regenerate dead lanes from the work queue -------------------
         need = ~st["alive"]
-        pixel_done = need & (st["samp"] >= spp - 1)
-        next_sample = need & ~pixel_done & st["started"]
-
-        # Flush completed pixels (scrubbed + counted like de_nan,
-        # Raytracing_n.cpp:47-53).
-        total = st["acc_lane"] + st["radiance"]
-        is_nan = jnp.isnan(total) & (pixel_done & st["started"])[:, None]
-        contrib = jnp.where((pixel_done & st["started"])[:, None],
-                            jnp.where(is_nan, 0.0, total), 0.0)
-        acc = st["acc"].at[st["pix"]].add(contrib, unique_indices=True)
-
-        # Pull a fresh pixel for lanes that finished (or never had) one.
-        k = jnp.cumsum(pixel_done.astype(jnp.int32))
-        new_pix = st["cursor"] + k - 1
-        take = pixel_done & (new_pix < n_pixels)
-        pix = jnp.where(take, new_pix, st["pix"])
-        samp = jnp.where(take, 0,
-                         jnp.where(next_sample, st["samp"] + 1, st["samp"]))
-        fresh = take | next_sample
+        k = jnp.cumsum(need.astype(jnp.int32))          # 1-based rank
+        wid = st["cursor"] + k - 1
+        take = need & (wid < total_work)
+        # Consecutive work ids share a pixel (sample-minor): regenerated
+        # lanes get coherent primary rays.
+        pix = jnp.where(take, wid // spp, st["pix"])
+        samp = jnp.where(take, wid % spp, st["samp"])
         rays, salt = camera_rays(pix, samp)
-
-        # Reset on every completed pixel — including retired lanes (no new
-        # pixel to pull), whose repeated/final flushes must then add zero.
-        st2 = dict(
+        st = dict(
+            cursor=st["cursor"] + jnp.sum(take.astype(jnp.int32)),
+            n_vertices=st["n_vertices"],
+            nan_scrubbed=st["nan_scrubbed"],
+            acc=st["acc"],
             pix=pix, samp=samp,
-            acc_lane=jnp.where(pixel_done[:, None], 0.0,
-                               jnp.where(next_sample[:, None],
-                                         st["acc_lane"] + st["radiance"],
-                                         st["acc_lane"])),
-            o=where3(fresh, rays.origin, st["o"]),
-            d=where3(fresh, rays.direction, st["d"]),
-            time=jnp.where(fresh, rays.time, st["time"]),
-            beta=where3(fresh, jnp.ones_like(st["beta"]), st["beta"]),
-            radiance=where3(fresh | pixel_done,
-                            jnp.zeros_like(st["radiance"]),
+            o=where3(take, rays.origin, st["o"]),
+            d=where3(take, rays.direction, st["d"]),
+            time=jnp.where(take, rays.time, st["time"]),
+            beta=where3(take, jnp.ones_like(st["beta"]), st["beta"]),
+            radiance=where3(take, jnp.zeros_like(st["radiance"]),
                             st["radiance"]),
-            alive=st["alive"] | fresh,
-            salt=jnp.where(fresh, salt, st["salt"]),
-            depth=jnp.where(fresh, 0, st["depth"]),
+            alive=st["alive"] | take,
+            salt=jnp.where(take, salt, st["salt"]),
+            depth=jnp.where(take, 0, st["depth"]),
         )
 
         # --- one bounce for the (now full) wavefront ---------------------
-        was_alive = st2["alive"]
+        was_alive = st["alive"]
         nxt = bounce_step(
             scene,
-            {k: st2[k] for k in
-             ("o", "d", "time", "beta", "radiance", "alive", "salt",
-              "depth")},
+            {k: st[k] for k in
+             ("o", "d", "time", "beta", "radiance", "alive", "salt", "depth")},
             max_depth, rr_start, flags)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
-        return dict(cursor=st["cursor"] + jnp.sum(take.astype(jnp.int32)),
+        # --- flush finished paths into the image -------------------------
+        finished = was_alive & ~alive
+        contrib = jnp.where(finished[:, None], nxt["radiance"], 0.0)
+        # NaN scrub per sample, as de_nan (Raytracing_n.cpp:47-53) — counted.
+        is_nan = jnp.isnan(contrib)
+        contrib = jnp.where(is_nan, 0.0, contrib)
+        acc = st["acc"].at[st["pix"]].add(contrib)
+
+        return dict(cursor=st["cursor"],
                     n_vertices=st["n_vertices"]
                     + jnp.sum(was_alive, dtype=jnp.uint32),
                     nan_scrubbed=st["nan_scrubbed"]
                     + jnp.sum(is_nan, dtype=jnp.uint32),
-                    acc=acc, pix=st2["pix"], samp=st2["samp"],
-                    acc_lane=st2["acc_lane"],
-                    o=nxt["o"], d=nxt["d"], time=nxt["time"],
-                    beta=nxt["beta"], radiance=nxt["radiance"], alive=alive,
-                    salt=nxt["salt"], depth=nxt["depth"],
-                    started=st["started"] | take)
+                    acc=acc, pix=st["pix"],
+                    samp=st["samp"], o=nxt["o"], d=nxt["d"],
+                    time=nxt["time"], beta=nxt["beta"],
+                    radiance=nxt["radiance"], alive=alive,
+                    salt=nxt["salt"], depth=nxt["depth"])
 
     state = jax.lax.while_loop(cond, body, state)
-    # Final drain: the loop exits with every path dead, but completed
-    # pixels whose flush would have happened on the *next* iteration are
-    # still in the lane accumulators.
-    total = state["acc_lane"] + state["radiance"]
-    is_nan = jnp.isnan(total) & state["started"][:, None]
-    contrib = jnp.where(state["started"][:, None],
-                        jnp.where(is_nan, 0.0, total), 0.0)
-    acc = state["acc"].at[state["pix"]].add(contrib, unique_indices=True)
-    nan_scrubbed = state["nan_scrubbed"] + jnp.sum(is_nan, dtype=jnp.uint32)
-    return acc, state["n_vertices"], nan_scrubbed
+    return state["acc"], state["n_vertices"], state["nan_scrubbed"]
 
 
 def render_regen(scene: Scene, camera: Camera, config,
