@@ -28,7 +28,10 @@ from srt_tpu.scene.ir import Scene
 
 _BIG = np.float32(3.0e38)
 _T_POS_MAX = np.float32(1.0e7)  # position-eval clamp; see miss-lane inf note
-PRIM_CHUNK = 32  # static prims per vectorized brute-force block
+PRIM_CHUNK = 128  # static prims per vectorized brute-force block; 128 =
+                  # one full VPU lane row per ray, and sphere-heavy scenes
+                  # (final: 1001 spheres) unroll 4x fewer chunk blocks
+                  # into the bounce graph than the previous 32
 
 
 class Hit(NamedTuple):
