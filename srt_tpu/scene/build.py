@@ -163,7 +163,9 @@ class SceneBuilder:
     def yz_rect(self, y0, y1, z0, z1, k, mat, flip=False) -> int:
         return self.rect(2, y0, y1, z0, z1, k, mat, flip)
 
-    def box(self, pmin, pmax, mat, as_tris: bool = False) -> None:
+    def box(self, pmin, pmax, mat, as_tris: bool = False,
+            rotate: np.ndarray | None = None,
+            translate=(0.0, 0.0, 0.0)) -> None:
         """Axis-aligned box = 6 rects (reference ``box.h:5-33``).
 
         ``as_tris=True`` lowers the box to 12 BVH triangles instead —
@@ -171,13 +173,23 @@ class SceneBuilder:
         ``Raytracing_n.cpp:483-494``) where the brute-force rect sweep
         would dominate; the rect path keeps exact reference parity for
         the handful of walls/lights other scenes use.
+
+        ``rotate``/``translate`` bake the reference's instancing wrappers
+        (``translate(rotate_y(new box(...)))``, ``hitable.h:35-132``) at
+        build time — a transformed box is no longer axis-aligned, so it
+        always takes the triangle path.
         """
         x0, y0, z0 = [float(v) for v in pmin]
         x1, y1, z1 = [float(v) for v in pmax]
-        if as_tris:
+        instanced = rotate is not None or any(float(t) != 0.0
+                                              for t in translate)
+        if as_tris or instanced:
             c = np.array([[x0, y0, z0], [x1, y0, z0], [x0, y1, z0],
                           [x1, y1, z0], [x0, y0, z1], [x1, y0, z1],
                           [x0, y1, z1], [x1, y1, z1]], np.float32)
+            if rotate is not None:
+                c = c @ np.asarray(rotate, np.float32).T
+            c = c + np.asarray(translate, np.float32)
             # Outward-wound faces: -z +z -y +y -x +x.
             quads = np.array([[0, 2, 3, 1], [4, 5, 7, 6], [0, 1, 5, 4],
                               [2, 6, 7, 3], [0, 4, 6, 2], [1, 3, 7, 5]])

@@ -99,3 +99,45 @@ def test_teapot_scale_linearity():
     a = create_teapot(scale=1.0, divs=3).positions
     b = create_teapot(scale=40.0, divs=3).positions
     np.testing.assert_allclose(b, a * 40.0, rtol=1e-5)
+
+
+def test_box_instancing_rotate_translate():
+    """Baked box instancing (the reference's translate(rotate_y(box)),
+    hitable.h:35-132): a rotated box renders a rotated silhouette and a
+    pure translation matches an axis-aligned box built at the target."""
+    import numpy as np
+    from srt_tpu import RenderConfig, render
+    from srt_tpu.render.camera import Camera
+    from srt_tpu.scene.build import SceneBuilder, rotation_y
+
+    def build(rotate, translate, direct=None):
+        b = SceneBuilder()
+        white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+        light = b.diffuse_light(b.constant((8.0, 8.0, 8.0)))
+        lid = b.xz_rect(-3, 3, -3, 3, 8, light, flip=True)
+        if direct is not None:
+            b.box(direct[0], direct[1], white, as_tris=True)
+        else:
+            b.box((-1, 0, -1), (1, 2, 1), white, rotate=rotate,
+                  translate=translate)
+        b.light_rect(lid)
+        cam = Camera.look_at(lookfrom=(0, 3, -9), lookat=(0, 1, 0),
+                             vfov=35.0, aspect=1.0)
+        return b.build(), cam
+
+    cfg = RenderConfig(width=24, height=24, spp=4, max_depth=3)
+
+    # Pure translation == axis-aligned box at the target position.
+    s1, c1 = build(None, (0.5, 0.0, 0.5))
+    s2, c2 = build(None, (0, 0, 0), direct=((-0.5, 0, -0.5), (1.5, 2, 1.5)))
+    a = np.asarray(render(s1, c1, cfg))
+    b_ = np.asarray(render(s2, c2, cfg))
+    np.testing.assert_allclose(a, b_, atol=2e-5)
+
+    # 45-degree rotation changes the image (silhouette widens).
+    s3, c3 = build(rotation_y(45.0), (0, 0, 0))
+    s0, c0 = build(None, (0, 0, 0))
+    r45 = np.asarray(render(s3, c3, cfg))
+    r0 = np.asarray(render(s0, c0, cfg))
+    assert np.isfinite(r45).all()
+    assert np.abs(r45 - r0).max() > 0.01
