@@ -36,6 +36,9 @@ class RenderConfig:
     pixel_chunk: int = 1 << 16     # pixels per device dispatch
     sobol_pixel_jitter: bool = True  # reference jitters pixels with Sobol
                                      # (Raytracing_n.cpp:834-835)
+    pdf_floor: float = 1e-9          # zero-contribution cutoff for the
+                                     # mixture pdf; raise (e.g. 1e-4) to
+                                     # suppress fireflies at small bias
 
 
 # Per-ray sampler dimensions reserved for camera decisions.
@@ -44,10 +47,11 @@ _DIM_TIME = 34
 
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "rr_start",
-                                   "n_samples", "with_aux", "flags"))
+                                   "n_samples", "with_aux", "flags",
+                                   "pdf_floor"))
 def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
                   sobol_pts, seed, *, width, height, max_depth, rr_start,
-                  n_samples, with_aux=False, flags=None):
+                  n_samples, with_aux=False, flags=None, pdf_floor=1e-9):
     """Radiance sum over ``n_samples`` consecutive samples for a pixel chunk.
 
     Flattens (pixels × samples) into one wavefront so the whole chunk is a
@@ -72,7 +76,8 @@ def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
     rays = camera.rays(s, t, u_l1, u_l2, u_t)
 
     out = trace(scene, rays, sampler, max_depth=max_depth,
-                rr_start=rr_start, with_aux=with_aux, flags=flags)
+                rr_start=rr_start, with_aux=with_aux, flags=flags,
+                pdf_floor=pdf_floor)
     if with_aux:
         radiance, aux = out
         return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1), aux
@@ -123,7 +128,8 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
                 scene, camera, pixel_ids, s0, jit_pts,
                 config.seed, width=w, height=h,
                 max_depth=config.max_depth, rr_start=config.rr_start,
-                n_samples=n_s, with_aux=metrics, flags=flags)
+                n_samples=n_s, with_aux=metrics, flags=flags,
+                pdf_floor=config.pdf_floor)
             if metrics:
                 out, aux = out
                 m.add_chunk(aux)

@@ -88,7 +88,8 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
 
 
 def bounce_step(scene: Scene, state: dict, max_depth: int,
-                rr_start: int, flags=None) -> dict:
+                rr_start: int, flags=None,
+                pdf_floor: float = 1e-9) -> dict:
     """One path-tracing bounce for every lane of a wavefront.
 
     ``state`` keys: ``o d time beta radiance alive salt depth`` — ``salt``
@@ -170,9 +171,14 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
                             flags)
     weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
                               r.direction, wi, flags)
-    ok = pdf > 1e-9
+    # Below-floor pdfs contribute zero (the reference instead retries,
+    # Raytracing_n.cpp:79-83). The default 1e-9 floor is effectively
+    # unbiased; a larger floor (RenderConfig.pdf_floor) trades a little
+    # dim bias for killing the weight/pdf fireflies that near-zero
+    # mixture pdfs produce on specular-coat + textured paths.
+    ok = pdf > pdf_floor
     diff_beta = jnp.where(ok[:, None],
-                          weight / jnp.maximum(pdf, 1e-9)[:, None], 0.0)
+                          weight / jnp.maximum(pdf, pdf_floor)[:, None], 0.0)
 
     # --- merge branches ---------------------------------------------
     new_dir = where3(specular, spec_dir, wi)
@@ -202,7 +208,8 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
 
 
 def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
-          rr_start: int = 64, with_aux: bool = False, flags=None):
+          rr_start: int = 64, with_aux: bool = False, flags=None,
+          pdf_floor: float = 1e-9):
     """Estimate radiance for a wavefront of primary rays -> (N, 3).
 
     Bounded ``lax.scan`` over :func:`bounce_step` with every lane in depth
@@ -229,7 +236,8 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
 
     def bounce(state, _):
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
-        return bounce_step(scene, state, max_depth, rr_start, flags), n_alive
+        return bounce_step(scene, state, max_depth, rr_start, flags,
+                           pdf_floor), n_alive
 
     state, alive_hist = jax.lax.scan(bounce, state, None, length=max_depth)
     # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — counted, not silent.

@@ -42,10 +42,12 @@ _DIM_TIME = 34
 
 
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth",
-                                   "rr_start", "wavefront", "flags"))
+                                   "rr_start", "wavefront", "flags",
+                                   "pdf_floor"))
 def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                   width: int, height: int, spp: int, max_depth: int,
-                  rr_start: int, wavefront: int, flags=None):
+                  rr_start: int, wavefront: int, flags=None,
+                  pdf_floor: float = 1e-9):
     """Full image via one while_loop with lane regeneration -> (H*W, 3) sums."""
     n_pixels = width * height
     total_work = n_pixels * spp
@@ -117,7 +119,7 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
             scene,
             {k: st[k] for k in
              ("o", "d", "time", "beta", "radiance", "alive", "salt", "depth")},
-            max_depth, rr_start, flags)
+            max_depth, rr_start, flags, pdf_floor)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
         # --- flush finished paths into the image -------------------------
@@ -171,7 +173,8 @@ def render_regen(scene: Scene, camera: Camera, config,
         scene, camera, jit_pts, config.seed,
         width=w, height=h, spp=spp,
         max_depth=config.max_depth, rr_start=config.rr_start,
-        wavefront=wavefront, flags=SceneFlags.of(scene))
+        wavefront=wavefront, flags=SceneFlags.of(scene),
+        pdf_floor=getattr(config, "pdf_floor", 1e-9))
     img = (acc / spp).reshape(h, w, 3)
     if metrics:
         img.block_until_ready()

@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--ref-parity", action="store_true",
                     help="reproduce reference bugs that shape its goldens "
                          "(first-mesh-only model loading)")
+    ap.add_argument("--pdf-floor", type=float, default=1e-9,
+                    help="mixture-pdf cutoff; 1e-4 suppresses fireflies")
     args = ap.parse_args()
 
     import numpy as np
@@ -53,7 +55,8 @@ def main() -> None:
         print(f"WARNING: assets skipped: {info['skipped']}", file=sys.stderr)
 
     cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
-                       max_depth=args.max_depth, rr_start=1 << 30)
+                       max_depth=args.max_depth, rr_start=1 << 30,
+                       pdf_floor=args.pdf_floor)
     fn = render_regen if args.engine == "regen" else render
     t0 = time.time()
     img = np.asarray(fn(scene, camera, cfg))
@@ -65,6 +68,7 @@ def main() -> None:
     write_ppm(ours_path, tm)
 
     result = {"scene": args.scene, "spp": args.spp, "size": args.size,
+              "pdf_floor": args.pdf_floor,
               "max_depth": args.max_depth, "wall_s": round(wall, 1),
               "ours": ours_path}
     if args.golden and os.path.exists(args.golden):
