@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     from srt_tpu.scene.library import get_scene
 
     mesh = global_mesh()
-    scene, camera, _ = get_scene(args.scene, aspect=args.width / args.width)
+    scene, camera, _ = get_scene(args.scene, aspect=1.0)  # height == width
     config = RenderConfig(width=args.width, height=args.width, spp=args.spp,
                           max_depth=args.max_depth)
     img = render_sharded(scene, camera, config, mesh)

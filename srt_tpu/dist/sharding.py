@@ -83,6 +83,7 @@ def render_sharded(scene: Scene, camera, config: RenderConfig, mesh: Mesh,
         acc = acc + _render_chunk(
             scene, camera, pixel_ids, s0, sobol_pts, config.seed,
             width=w, height=h, max_depth=config.max_depth,
-            rr_start=config.rr_start, n_samples=n_s, flags=flags)
+            rr_start=config.rr_start, n_samples=n_s, flags=flags,
+            pdf_floor=config.pdf_floor)
     img = (acc[:n_pixels] / spp).reshape(h, w, 3)
     return img

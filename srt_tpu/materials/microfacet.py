@@ -33,7 +33,7 @@ def beckmann_d(wh, alphax, alphay):
     e = jnp.exp(-tan2 * (frame.cos2_phi(wh) / (alphax * alphax)
                          + frame.sin2_phi(wh) / (alphay * alphay)))
     d = e / (jnp.pi * alphax * alphay * jnp.maximum(cos4, 1e-16))
-    return jnp.where(tan2 >= 1e8, 0.0, d)
+    return jnp.where(tan2 < 1e8, d, 0.0)  # NaN tan2 falls into the 0 branch
 
 
 def beckmann_lambda(w, alphax, alphay):

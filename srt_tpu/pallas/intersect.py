@@ -68,8 +68,10 @@ def _plane(x, dtype):
     return jnp.pad(jnp.asarray(x, dtype), (0, pad)).reshape(rows, 128)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "t_min"))
-def intersect_tris_pallas(scene, ray, t_min, interpret: bool = False):
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "t_min", "leaf_size"))
+def intersect_tris_pallas(scene, ray, t_min, interpret: bool = False,
+                          leaf_size: int = 4):
     """Closest-hit over the triangle BVH -> (t, u, v, tri_index) per ray.
 
     Caller (``render/intersect.py``) assembles the Hit record (uv/normal/
@@ -114,7 +116,7 @@ def intersect_tris_pallas(scene, ray, t_min, interpret: bool = False):
     dz = tiled(ray.direction[:, 2], 1.0)  # pad rays point +z from origin
 
     kernel = functools.partial(_kernel, n_nodes=n_nodes,
-                               t_min=float(t_min))
+                               t_min=float(t_min), leaf_size=leaf_size)
 
     ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -148,7 +150,8 @@ def _kernel(rx_ref, ry_ref, rz_ref, dx_ref, dy_ref, dz_ref,
             skip_ref, first_ref, count_ref,
             ax_ref, ay_ref, az_ref, bx_ref, by_ref, bz_ref,
             cx_ref, cy_ref, cz_ref,
-            t_ref, u_ref, v_ref, idx_ref, *, n_nodes: int, t_min: float):
+            t_ref, u_ref, v_ref, idx_ref, *, n_nodes: int, t_min: float,
+            leaf_size: int = 4):
     ox, oy, oz = rx_ref[:], ry_ref[:], rz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -235,7 +238,7 @@ def _kernel(rx_ref, ry_ref, rz_ref, dx_ref, dy_ref, dz_ref,
 
         def leaf_fn(args):
             t_b, u_b, v_b, i_b = args
-            for j in range(4):  # leaf_size fixed at build (accel/bvh.py)
+            for j in range(leaf_size):  # static leaf width (SceneFlags.bvh_leaf)
                 tri = jnp.minimum(first + j, count + first - 1)
                 tri = jnp.maximum(tri, 0)
                 lane_ok = box_hit & (j < count)

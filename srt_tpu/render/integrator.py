@@ -106,7 +106,7 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
     beta = state["beta"]
     radiance = state["radiance"]
 
-    hit = intersect_scene(scene, r, 1e-3, _BIG)
+    hit = intersect_scene(scene, r, 1e-3, _BIG, flags)
     if scene.n_media:
         hit = _apply_media(scene, r, s, hit)
     # Sanitize miss lanes before shading: a zero normal (degenerate

@@ -233,7 +233,7 @@ def _pallas_mode() -> str:
 
 
 def intersect_tris_via_pallas(scene: Scene, ray: Ray, t_min,
-                              interpret: bool) -> Hit:
+                              interpret: bool, leaf_size: int = 4) -> Hit:
     """Hit assembly around the Pallas traversal kernel.
 
     Geometry is detached (stop_gradient on t/u/v): the Pallas kernel has no
@@ -244,7 +244,8 @@ def intersect_tris_via_pallas(scene: Scene, ray: Ray, t_min,
 
     t_best, u, v, tri = jax.tree.map(
         jax.lax.stop_gradient,
-        intersect_tris_pallas(scene, ray, t_min, interpret=interpret))
+        intersect_tris_pallas(scene, ray, t_min, interpret=interpret,
+                              leaf_size=leaf_size))
     hit = t_best < _BIG
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)
@@ -332,9 +333,15 @@ def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
                normal=normal, uv=uv, mat=scene.tri_mat[tri])
 
 
-def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG) -> Hit:
-    """Closest hit over every surface primitive family."""
+def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
+                    flags=None) -> Hit:
+    """Closest hit over every surface primitive family.
+
+    ``flags`` (a concrete :class:`srt_tpu.scene.ir.SceneFlags`) supplies the
+    static BVH leaf width; without it the builder default of 4 is assumed.
+    """
     n = ray.origin.shape[0]
+    leaf = flags.bvh_leaf if flags is not None else 4
     best = Hit.none(n)
     if scene.n_spheres:
         best = best.closer_of(intersect_spheres(scene, ray, t_min, t_max))
@@ -346,7 +353,9 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG) -> Hit:
         interp = mode == "interpret"
         if mode != "off" and pallas_available(scene, interpret=interp):
             best = best.closer_of(
-                intersect_tris_via_pallas(scene, ray, t_min, interp))
+                intersect_tris_via_pallas(scene, ray, t_min, interp,
+                                          leaf_size=leaf))
         else:
-            best = best.closer_of(intersect_tris(scene, ray, t_min, t_max))
+            best = best.closer_of(intersect_tris(scene, ray, t_min, t_max,
+                                                 leaf_size=leaf))
     return best

@@ -66,6 +66,7 @@ class SceneFlags(NamedTuple):
     """
     tex_kinds: tuple
     mat_kinds: tuple
+    bvh_leaf: int = 4   # widest BVH leaf (static loop bound in traversal)
 
     @staticmethod
     def of(scene) -> "SceneFlags | None":
@@ -74,10 +75,12 @@ class SceneFlags(NamedTuple):
         try:
             tt = np.asarray(scene.tex_type)
             mt = np.asarray(scene.mat_type)
+            leaf = int(np.asarray(scene.bvh_count).max(initial=0)) or 4
         except Exception:
             return None
         return SceneFlags(tex_kinds=tuple(sorted(set(tt.tolist()))),
-                          mat_kinds=tuple(sorted(set(mt.tolist()))))
+                          mat_kinds=tuple(sorted(set(mt.tolist()))),
+                          bvh_leaf=leaf)
 
 
 def has_tex(flags, kind) -> bool:

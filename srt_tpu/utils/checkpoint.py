@@ -60,7 +60,7 @@ def load_render_ckpt(path: str, config) -> tuple[np.ndarray, int] | None:
         # seed/resolution/depth must match for the streams to line up;
         # chunk sizes are execution details and may differ.
         keys = ("width", "height", "spp", "max_depth", "seed", "rr_start",
-                "sobol_pixel_jitter")
+                "sobol_pixel_jitter", "pdf_floor")
         if any(meta.get(k) != current.get(k) for k in keys):
             return None
         return z["acc"].copy(), int(z["spp_done"])
@@ -110,7 +110,8 @@ def render_resumable(scene, camera, config, ckpt_path: str,
             part = part.at[p0:p1].add(_render_chunk(
                 scene, camera, pixel_ids, s0, jit_pts, config.seed,
                 width=w, height=h, max_depth=config.max_depth,
-                rr_start=config.rr_start, n_samples=n_s, flags=flags))
+                rr_start=config.rr_start, n_samples=n_s, flags=flags,
+                pdf_floor=config.pdf_floor))
         acc = acc + part
         s0 += n_s
         since_ckpt += n_s
