@@ -52,11 +52,28 @@ def main() -> None:
                          "comparison); both = time both, report the faster")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of one rep to DIR")
+    ap.add_argument("--matrix", action="store_true",
+                    help="also sweep every renderable scene (triangle-heavy "
+                         "ones included) at a smaller size and report "
+                         "per-scene rays/s + path-vertices/s")
+    ap.add_argument("--matrix-width", type=int, default=256)
+    ap.add_argument("--matrix-spp", type=int, default=8)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache")
     args = ap.parse_args()
     height = args.height or args.width
 
     warnings.simplefilter("ignore")
     import jax
+
+    if not args.no_cache:
+        # Persistent compilation cache: the regen while_loop costs minutes
+        # to compile on this 2-vCPU host (BASELINE.md); cache across runs.
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import numpy as np
 
     from srt_tpu import RenderConfig, render
@@ -84,6 +101,8 @@ def main() -> None:
     engines = {"regen": render_regen, "scan": render}
     run_engines = list(engines) if args.engine == "both" else [args.engine]
 
+    warmups = {}
+
     def timed(engine_name):
         """(reps, total_s, img) for one engine. NOTE: sync via host
         transfer — block_until_ready does not actually block under the
@@ -92,8 +111,9 @@ def main() -> None:
         fn = engines[engine_name]
         t0 = time.time()
         img_np = np.asarray(fn(scene, camera, config))
+        warmups[engine_name] = round(time.time() - t0, 1)
         log(f"[{engine_name}] warmup (compile + render): "
-            f"{time.time() - t0:.1f}s")
+            f"{warmups[engine_name]}s")
         reps, total = 0, 0.0
         while total < args.min_seconds and reps < 50:
             cfg = RenderConfig(**{**config.__dict__, "seed": reps + 1})
@@ -150,9 +170,63 @@ def main() -> None:
                    "max_depth": args.max_depth, "reps": reps},
         "device": f"{dev.platform}:{dev.device_kind}",
         "wall_s": round(total, 3),
+        "warmup_s": warmups,
         "nan_pixels": nan,
     }
+
+    if args.matrix:
+        result["matrix"] = scene_matrix(args, log)
+
     print(json.dumps(result), flush=True)
+
+
+def scene_matrix(args, log):
+    """Per-scene regen throughput sweep (VERDICT r2 item 3): every scene the
+    assets allow, triangle-heavy ones included, with path-vertices/s (the
+    honest work metric — primary rays/s hides depth differences)."""
+    import numpy as np
+
+    from srt_tpu.render.regen import render_regen
+    from srt_tpu.render.api import RenderConfig
+    from srt_tpu.scene.library import get_scene, list_scenes
+
+    w = args.matrix_width
+    out = {}
+    for name in list_scenes():
+        try:
+            scene, camera, info = get_scene(name, aspect=1.0)
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+            continue
+        if info.get("skipped"):
+            out[name] = {"skipped_assets": info["skipped"]}
+        cfg = RenderConfig(width=w, height=w, spp=args.matrix_spp,
+                           max_depth=args.max_depth, rr_start=1 << 30)
+        try:
+            t0 = time.time()
+            img, m = render_regen(scene, camera, cfg, metrics=True)
+            img = np.asarray(img)
+            warm = time.time() - t0
+            t0 = time.time()
+            img, m = render_regen(scene, camera,
+                                  RenderConfig(**{**cfg.__dict__,
+                                                  "seed": 1}), metrics=True)
+            img = np.asarray(img)
+            dt = time.time() - t0
+            entry = out.setdefault(name, {})
+            entry.update({
+                "n_tris": int(scene.n_tris),
+                "primary_rays_per_sec": round(w * w * args.matrix_spp / dt, 1),
+                "path_vertices_per_sec": round(m.path_vertices / dt, 1),
+                "wall_s": round(dt, 2), "warmup_s": round(warm, 1),
+                "nan_pixels": int(np.isnan(img).sum()),
+                "mean": round(float(img.mean()), 4),
+            })
+            log(f"[matrix] {name}: {entry}")
+        except Exception as e:
+            out.setdefault(name, {})["error"] = f"{type(e).__name__}: {e}"
+            log(f"[matrix] {name} FAILED: {e}")
+    return out
 
 
 if __name__ == "__main__":

@@ -44,12 +44,21 @@ def splice(scene: Scene, params: dict[str, Any]) -> Scene:
 
 
 def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
-                  spp: int, max_depth: int, seed) -> jnp.ndarray:
+                  spp: int, max_depth: int, seed, engine: str = "regen",
+                  wavefront: int = 1 << 15,
+                  depth_budget: float = 4.0) -> jnp.ndarray:
     """Mean radiance per pixel (P, 3), fully traceable/differentiable.
 
     Unlike the forward-path :func:`srt_tpu.render.api.render`, the pixel
     jitter comes from the counter RNG (not Sobol) so the whole evaluation is
     one jit region with no host state.
+
+    ``engine="regen"`` (default) uses the reverse-differentiable
+    regeneration scan (:mod:`srt_tpu.render.regen_scan`): same estimator,
+    ~``max_depth / depth_budget``x fewer dead-lane bounces than the
+    lockstep ``engine="scan"`` path (VERDICT r2 item 4). ``depth_budget``
+    is the assumed mean path length for the static step budget; paths past
+    the budget are truncated (counted, negligible when sized sanely).
     """
     p = pixel_ids.shape[0]
     pix = jnp.repeat(pixel_ids, spp)
@@ -71,23 +80,32 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
     # so the shader still specializes (optimized params like tex_color
     # stay traced).
     from srt_tpu.scene.ir import SceneFlags
-    radiance = trace(scene, rays, sampler, max_depth=max_depth,
-                     rr_start=1 << 30, flags=SceneFlags.of(scene))
+    flags = SceneFlags.of(scene)
+    if engine == "regen":
+        from srt_tpu.render.regen_scan import steps_for, trace_queue
+        steps = steps_for(p * spp, wavefront, depth_budget, max_depth)
+        radiance, _ = trace_queue(scene, rays, sampler.salt, n_steps=steps,
+                                  wavefront=wavefront, max_depth=max_depth,
+                                  flags=flags)
+    else:
+        radiance = trace(scene, rays, sampler, max_depth=max_depth,
+                         rr_start=1 << 30, flags=flags)
     return jnp.mean(radiance.reshape(p, spp, 3), axis=1)
 
 
 def image_loss(params, scene, camera, target, pixel_ids, *, width, height,
-               spp, max_depth, seed):
+               spp, max_depth, seed, engine="regen"):
     """L2 loss between the rendered pixels and target pixels (P, 3)."""
     img = render_pixels(splice(scene, params), camera, pixel_ids,
                         width=width, height=height, spp=spp,
-                        max_depth=max_depth, seed=seed)
+                        max_depth=max_depth, seed=seed, engine=engine)
     return jnp.mean((img - target) ** 2)
 
 
 def make_train_step(scene: Scene, camera, optimizer, *, width: int,
                     height: int, spp: int, max_depth: int,
-                    mesh: Mesh | None = None) -> Callable:
+                    mesh: Mesh | None = None,
+                    engine: str = "regen") -> Callable:
     """Build a jitted SGD step ``(params, opt_state, target, seed) ->
     (params, opt_state, loss)``.
 
@@ -104,7 +122,7 @@ def make_train_step(scene: Scene, camera, optimizer, *, width: int,
             loss, grads = jax.value_and_grad(image_loss)(
                 params, scene, camera, target.reshape(n_pixels, 3),
                 pixel_ids, width=width, height=height, spp=spp,
-                max_depth=max_depth, seed=seed)
+                max_depth=max_depth, seed=seed, engine=engine)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return jax.tree.map(lambda p, u: p + u, params, updates), \
                 opt_state, loss
@@ -119,7 +137,7 @@ def make_train_step(scene: Scene, camera, optimizer, *, width: int,
         loss, grads = jax.value_and_grad(image_loss)(
             params, scene_, camera_, target, pixel_ids,
             width=width, height=height, spp=spp, max_depth=max_depth,
-            seed=seed)
+            seed=seed, engine=engine)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads

@@ -72,8 +72,8 @@ def render_sharded(scene: Scene, camera, config: RenderConfig, mesh: Mesh,
     sobol_pts = jax.device_put(jnp.asarray(pts, jnp.float32),
                                NamedSharding(mesh, P()))
 
-    from srt_tpu.scene.ir import SceneFlags
-    flags = SceneFlags.of(scene)
+    from srt_tpu.render.api import scene_flags
+    flags = scene_flags(scene, config)
 
     acc = jnp.zeros((n_pixels + pad, 3), jnp.float32)
     acc = jax.device_put(acc, NamedSharding(mesh, P(axis)))

@@ -151,6 +151,23 @@ def _face_basis(normal, ray_dir):
     return OrthonormalBasis.from_w(n_face)
 
 
+def _oren_nayar_term(wi, wo, A, B):
+    """cosI * (A + B*maxCos*sinAlpha*tanBeta) / pi — the full Oren-Nayar
+    value (onrennayar_pdf::value, pdf.h:64-101) in local-frame vectors."""
+    sin_ti, sin_to = frame.sin_theta(wi), frame.sin_theta(wo)
+    d_cos = (frame.cos_phi(wi) * frame.cos_phi(wo)
+             + frame.sin_phi(wi) * frame.sin_phi(wo))
+    max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
+                        jnp.maximum(0.0, d_cos), 0.0)
+    abs_ci, abs_co = frame.abs_cos_theta(wi), frame.abs_cos_theta(wo)
+    i_bigger = abs_ci > abs_co
+    sin_alpha = jnp.where(i_bigger, sin_to, sin_ti)
+    tan_beta = jnp.where(i_bigger, sin_ti / jnp.maximum(abs_ci, 1e-8),
+                         sin_to / jnp.maximum(abs_co, 1e-8))
+    cos_i = jnp.maximum(wi[..., 2], 0.0)
+    return cos_i * (A + B * max_cos * sin_alpha * tan_beta) * _INV_PI
+
+
 def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2, flags=None):
     """Importance-sample the diffuse-branch BSDF; returns world wi (unit).
 
@@ -192,18 +209,39 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world, flags=None):
     wi = basis.to_local(wi_world)
     wo = basis.to_local(-ray_dir)
 
+    parity = flags is not None and flags.ref_parity
     cos_pdf = jnp.maximum(wi[..., 2], 0.0) * _INV_PI
+    pdf = cos_pdf
+
+    if parity and has_mat(flags, MaterialType.OREN_NAYAR):
+        # ref parity: the *pdf* carries the full O-N formula
+        # (onrennayar_pdf::value, pdf.h:64-101) while the weight is plain
+        # cos/pi — the reference's swap, reproduced for golden matching.
+        A, B = params[..., 0], params[..., 1]
+        pdf_on = _oren_nayar_term(wi, wo, A, B)
+        pdf = jnp.where(t == MaterialType.OREN_NAYAR, pdf_on, pdf)
+
     if not has_mat(flags, MaterialType.BECKMANN):
-        return cos_pdf
+        return pdf
 
     wh = safe_normalize(wi + wo)
     ax = floor_clamp(params[..., 0], 1e-4)
     ay = floor_clamp(params[..., 1], 1e-4)
-    beck = pdf_wh_visible(wo, wh, ax, ay) \
-        / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-8)
+    if parity:
+        # beckmann_pdf::generate stores D*G/(4 cosI cosO) as "the pdf"
+        # (pdf.h:133-140) — the BRDF shape, not the sampling density. We
+        # evaluate it at the actual wi (the reference replays a stale
+        # malloc'd float when the light branch generated the direction —
+        # undefined behavior we do not reproduce).
+        beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
+                / jnp.maximum(4.0 * frame.abs_cos_theta(wi)
+                              * frame.abs_cos_theta(wo), 1e-8))
+    else:
+        beck = pdf_wh_visible(wo, wh, ax, ay) \
+            / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-8)
     beck = jnp.where(frame.same_hemisphere(wo, wi), beck, 0.0)
 
-    return jnp.where(t == MaterialType.BECKMANN, beck, cos_pdf)
+    return jnp.where(t == MaterialType.BECKMANN, beck, pdf)
 
 
 def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
@@ -220,29 +258,30 @@ def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
     # LAMBERTIAN (material.h:100-105): albedo * cos/pi.
     w = cos_i * _INV_PI
 
-    if has_mat(flags, MaterialType.OREN_NAYAR):
+    parity = flags is not None and flags.ref_parity
+
+    if has_mat(flags, MaterialType.OREN_NAYAR) and not parity:
         # OREN_NAYAR full term (pdf.h:64-101), A/B precomputed at build.
+        # (Under ref parity the full term lives in bsdf_pdf instead and the
+        # weight is plain cos/pi, matching material.h:134-138.)
         A, B = params[..., 0], params[..., 1]
-        sin_ti, sin_to = frame.sin_theta(wi), frame.sin_theta(wo)
-        d_cos = (frame.cos_phi(wi) * frame.cos_phi(wo)
-                 + frame.sin_phi(wi) * frame.sin_phi(wo))
-        max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
-                            jnp.maximum(0.0, d_cos), 0.0)
-        abs_ci, abs_co = frame.abs_cos_theta(wi), frame.abs_cos_theta(wo)
-        i_bigger = abs_ci > abs_co
-        sin_alpha = jnp.where(i_bigger, sin_to, sin_ti)
-        tan_beta = jnp.where(i_bigger, sin_ti / jnp.maximum(abs_ci, 1e-8),
-                             sin_to / jnp.maximum(abs_co, 1e-8))
-        w_on = cos_i * (A + B * max_cos * sin_alpha * tan_beta) * _INV_PI
+        w_on = _oren_nayar_term(wi, wo, A, B)
         w = jnp.where(t == MaterialType.OREN_NAYAR, w_on, w)
 
     if has_mat(flags, MaterialType.BECKMANN):
-        # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
         wh = safe_normalize(wi + wo)
         ax = floor_clamp(params[..., 0], 1e-4)
         ay = floor_clamp(params[..., 1], 1e-4)
-        w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
-                  / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
+        if parity:
+            # ref parity: scattering_pdf = Pdf(wo,wh)/(4 wo.wh)
+            # = D*G1(wo)/(4 cosO) — the VNDF sampling density used as the
+            # "BRDF" (material.h:160-185); no cosI, G1 not G.
+            w_beck = (beckmann_d(wh, ax, ay) * g1(wo, ax, ay)
+                      / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
+        else:
+            # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
+            w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
+                      / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
         w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)
         w = jnp.where(t == MaterialType.BECKMANN, w_beck, w)
 

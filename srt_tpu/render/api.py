@@ -39,6 +39,20 @@ class RenderConfig:
     pdf_floor: float = 1e-9          # zero-contribution cutoff for the
                                      # mixture pdf; raise (e.g. 1e-4) to
                                      # suppress fireflies at small bias
+    ref_parity: bool = False         # reproduce the reference's
+                                     # as-implemented Beckmann/Oren-Nayar
+                                     # estimator (SceneFlags.ref_parity) for
+                                     # golden-image comparison
+
+
+def scene_flags(scene, config):
+    """Static shader-specialization flags for a render, including the
+    config's estimator-parity switch."""
+    from srt_tpu.scene.ir import SceneFlags
+    flags = SceneFlags.of(scene)
+    if flags is not None and getattr(config, "ref_parity", False):
+        flags = flags._replace(ref_parity=True)
+    return flags
 
 
 # Per-ray sampler dimensions reserved for camera decisions.
@@ -109,8 +123,7 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
         # pure-RNG pixel jitter: derive from the sampler stream
         jit_pts = _rng_jitter(spp, config.seed)
 
-    from srt_tpu.scene.ir import SceneFlags
-    flags = SceneFlags.of(scene)
+    flags = scene_flags(scene, config)
 
     acc = jnp.zeros((n_pixels, 3), jnp.float32)
     chunk = min(config.sample_chunk, spp)

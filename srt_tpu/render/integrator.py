@@ -34,6 +34,8 @@ _DIM_MIX = 12         # light-vs-bsdf pick
 _DIM_LIGHT_PICK = 13
 _DIM_SAMPLE = 14      # u1, u2 for light point / bsdf lobe
 _DIM_RR = 16          # russian roulette
+_DIM_RETRY = 17       # parity-mode resample rounds (3 dims each)
+_PARITY_RETRIES = 4
 
 
 def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
@@ -145,30 +147,65 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         spec_dir, spec_atten = r.direction, jnp.zeros_like(beta)
 
     # --- diffuse branch: mixture-PDF NEE (Raytracing_n.cpp:71-94) ---
-    u1 = s.uniform(_DIM_SAMPLE)
-    u2 = s.uniform(_DIM_SAMPLE + 1)
-    # Mixed attached/detached sampling: the BSDF lobe is detached (the
-    # standard detached estimator — it keeps the Beckmann inverse-CDF
-    # arccos/erfinv chains out of the backward graph, and BSDF sample
-    # directions don't depend on the differentiated scene parameters),
-    # while the light sample is *reparameterized*: cone/area sample
-    # directions move smoothly with light position/size, so light-geometry
-    # gradients (BASELINE config 5) flow through the sample itself.
-    bsdf_dir = jax.lax.stop_gradient(
-        mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction, u1, u2,
-                         flags))
-    if scene.n_lights:
-        light_dir = lights.sample_lights(scene, hit.p,
-                                         s.uniform(_DIM_LIGHT_PICK), u1, u2)
-        pick_light = s.uniform(_DIM_MIX) < 0.5
-        wi = where3(pick_light, light_dir, bsdf_dir)
-        pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
-               + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
-                                     r.direction, wi, flags))
-    else:
-        wi = bsdf_dir
-        pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction, wi,
-                            flags)
+    parity = flags is not None and flags.ref_parity
+    if parity:
+        # Reference parity: cosine_pdf/onrennayar_pdf::generate flip the
+        # lobe *into* the surface for front hits (pdf.h:47-52, 103-110),
+        # so their value() is 0 and the integrator's while(pdf==0) loop
+        # (Raytracing_n.cpp:79-83) retries until the mixture picks the
+        # light. Net behavior for Lambertian and Oren-Nayar:
+        # light-sampling only, weighted by the full 50/50 mixture pdf.
+        # Beckmann's own frame is consistent, so it keeps real BSDF
+        # sampling — but its below-horizon samples (pdf 0) are *also*
+        # retried, which the resample rounds below emulate.
+        from srt_tpu.scene.ir import MaterialType as MT
+        t_mat = scene.mat_type[hit.mat]
+        light_only = ((t_mat == MT.LAMBERTIAN)
+                      | (t_mat == MT.OREN_NAYAR))
+
+    def draw(dim_mix, dim_pick, dim_s):
+        """One mixture draw -> (wi, pdf). Fresh dims per retry round."""
+        u1 = s.uniform(dim_s)
+        u2 = s.uniform(dim_s + 1)
+        # Mixed attached/detached sampling: the BSDF lobe is detached
+        # (the standard detached estimator — it keeps the Beckmann
+        # inverse-CDF arccos/erfinv chains out of the backward graph, and
+        # BSDF sample directions don't depend on the differentiated scene
+        # parameters), while the light sample is *reparameterized*:
+        # cone/area sample directions move smoothly with light
+        # position/size, so light-geometry gradients (BASELINE config 5)
+        # flow through the sample itself.
+        bsdf_dir = jax.lax.stop_gradient(
+            mats.sample_bsdf(scene, hit.mat, hit.normal, r.direction,
+                             u1, u2, flags))
+        if scene.n_lights:
+            light_dir = lights.sample_lights(scene, hit.p,
+                                             s.uniform(dim_pick), u1, u2)
+            pick_light = s.uniform(dim_mix) < 0.5
+            if parity:
+                pick_light = pick_light | light_only
+            wi = where3(pick_light, light_dir, bsdf_dir)
+            pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
+                   + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
+                                         r.direction, wi, flags))
+        else:
+            wi = bsdf_dir
+            pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction,
+                                wi, flags)
+        return wi, pdf
+
+    wi, pdf = draw(_DIM_MIX, _DIM_LIGHT_PICK, _DIM_SAMPLE)
+    if parity:
+        # Emulate the reference's unbounded while(pdf==0) retry
+        # (Raytracing_n.cpp:79-83) with a bounded resample: rounds
+        # re-draw branch + sample for still-zero lanes (residual
+        # probability of all rounds failing is ~(p_fail)^K, negligible).
+        for rnd in range(_PARITY_RETRIES):
+            wi2, pdf2 = draw(_DIM_RETRY + 3 * rnd, _DIM_RETRY + 3 * rnd + 1,
+                             _DIM_RETRY + 3 * rnd + 2)
+            need = pdf <= 0.0
+            wi = where3(need, wi2, wi)
+            pdf = jnp.where(need, pdf2, pdf)
     weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
                               r.direction, wi, flags)
     # Below-floor pdfs contribute zero (the reference instead retries,

@@ -233,19 +233,22 @@ def _pallas_mode() -> str:
 
 
 def intersect_tris_via_pallas(scene: Scene, ray: Ray, t_min,
-                              interpret: bool, leaf_size: int = 4) -> Hit:
-    """Hit assembly around the Pallas traversal kernel.
+                              interpret: bool, leaf_size: int = 4,
+                              big: bool = False) -> Hit:
+    """Hit assembly around a Pallas traversal kernel (``big`` selects the
+    two-level DMA kernel for meshes beyond VMEM).
 
     Geometry is detached (stop_gradient on t/u/v): the Pallas kernel has no
     VJP; parameter gradients (albedo/materials/emission/lights) are
     unaffected, triangle-*vertex* gradients are out of scope on this path.
     """
-    from srt_tpu.pallas import intersect_tris_pallas
+    from srt_tpu.pallas import (intersect_tris_pallas,
+                                intersect_tris_pallas_big)
 
+    fn = intersect_tris_pallas_big if big else intersect_tris_pallas
     t_best, u, v, tri = jax.tree.map(
         jax.lax.stop_gradient,
-        intersect_tris_pallas(scene, ray, t_min, interpret=interpret,
-                              leaf_size=leaf_size))
+        fn(scene, ray, t_min, interpret=interpret, leaf_size=leaf_size))
     hit = t_best < _BIG
     w = 1.0 - u - v
     bary = jnp.stack([w, u, v], axis=-1)
@@ -349,12 +352,16 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
         best = best.closer_of(intersect_rects(scene, ray, t_min, t_max))
     if scene.n_tris:
         mode = _pallas_mode()
-        from srt_tpu.pallas import pallas_available
+        from srt_tpu.pallas import pallas_available, pallas_big_available
         interp = mode == "interpret"
         if mode != "off" and pallas_available(scene, interpret=interp):
             best = best.closer_of(
                 intersect_tris_via_pallas(scene, ray, t_min, interp,
                                           leaf_size=leaf))
+        elif mode != "off" and pallas_big_available(scene, interpret=interp):
+            best = best.closer_of(
+                intersect_tris_via_pallas(scene, ray, t_min, interp,
+                                          leaf_size=leaf, big=True))
         else:
             best = best.closer_of(intersect_tris(scene, ray, t_min, t_max,
                                                  leaf_size=leaf))

@@ -55,14 +55,21 @@ def _rect_pdf(scene: Scene, ridx: int, p, wi):
 
 
 def _sphere_sample(scene: Scene, sidx: int, p, u1, u2):
-    """Cone sampling toward the sphere (``sphere.h:7-15,80-86``)."""
+    """Cone sampling toward the sphere (``sphere.h:7-15,80-86``).
+
+    From *inside* the sphere (``dist_sq <= r^2`` — e.g. an emissive dome
+    registered as an NEE light, ``env_sphere.h:40-48``) the cone degenerates,
+    so those lanes sample the full sphere of directions uniformly
+    (pdf 1/4pi, mirrored in :func:`_sphere_pdf`).
+    """
     center = scene.sph_center0[sidx]
     radius = scene.sph_radius[sidx]
     to_c = center - p
     dist_sq = jnp.sum(to_c * to_c, axis=-1)
+    inside = dist_sq <= radius * radius
     cos_max = safe_sqrt(1.0 - radius * radius
                         / jnp.maximum(dist_sq, 1e-12))
-    z = 1.0 + u2 * (cos_max - 1.0)
+    z = jnp.where(inside, 1.0 - 2.0 * u2, 1.0 + u2 * (cos_max - 1.0))
     phi = 2.0 * jnp.pi * u1
     sq = safe_sqrt(1.0 - z * z)
     local = jnp.stack([jnp.cos(phi) * sq, jnp.sin(phi) * sq, z], axis=-1)
@@ -85,7 +92,11 @@ def _sphere_pdf(scene: Scene, sidx: int, p, wi):
     cos_max = safe_sqrt(
         1.0 - radius * radius / jnp.maximum(c + radius * radius, 1e-12))
     solid = 2.0 * jnp.pi * (1.0 - cos_max)
-    return jnp.where(hits, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+    pdf = jnp.where(hits, 1.0 / jnp.maximum(solid, 1e-12), 0.0)
+    # Inside the sphere every direction hits it: uniform 1/4pi (matches
+    # _sphere_sample's inside branch).
+    inside = c <= 0.0  # c = dist_sq - r^2
+    return jnp.where(inside, 1.0 / (4.0 * jnp.pi), pdf)
 
 
 def sample_lights(scene: Scene, p, u_pick, u1, u2):

@@ -165,7 +165,7 @@ def render_regen(scene: Scene, camera: Camera, config,
     else:
         jit_pts = _rng_jitter(spp, config.seed)
 
-    from srt_tpu.scene.ir import SceneFlags
+    from srt_tpu.render.api import scene_flags
 
     wavefront = getattr(config, "wavefront", 1 << 17)
     t0 = _time.time()
@@ -173,7 +173,7 @@ def render_regen(scene: Scene, camera: Camera, config,
         scene, camera, jit_pts, config.seed,
         width=w, height=h, spp=spp,
         max_depth=config.max_depth, rr_start=config.rr_start,
-        wavefront=wavefront, flags=SceneFlags.of(scene),
+        wavefront=wavefront, flags=scene_flags(scene, config),
         pdf_floor=getattr(config, "pdf_floor", 1e-9))
     img = (acc / spp).reshape(h, w, 3)
     if metrics:

@@ -1,0 +1,127 @@
+"""Reverse-differentiable path regeneration: ``lax.scan`` over a persistent
+wavefront with a *static* step budget.
+
+Round-2 VERDICT item 4: the differentiable engine
+(:func:`srt_tpu.render.integrator.trace`) marches every lane through all
+``max_depth`` bounces — at the reference's depth 50 the wavefront is ~95%
+dead lanes and the train step crawls (104k rays/s measured). The forward
+regen engine (:mod:`srt_tpu.render.regen`) fixes that with a
+work-queue ``while_loop``, which JAX cannot reverse-differentiate.
+
+This engine is the bridge: the same lane-regeneration body, but driven by a
+``lax.scan`` of **static length** ``n_steps`` — reverse-differentiable, and
+each step does useful work on a (nearly) full wavefront. The step budget is
+sized from a mean-depth estimate: ``n_steps = ceil(N * depth_budget / M) +
+max_depth`` (the ``+ max_depth`` drains the tail). Paths that exhaust the
+budget are *truncated*: their partial radiance is flushed and counted — the
+estimator stays consistent (same contract as a depth cap), and with a sane
+budget the truncated fraction is ~0 (asserted in tests by exact agreement
+with the scan engine).
+
+Per-step ``jax.checkpoint`` keeps backward memory at one wavefront state
+per step boundary with the bounce recomputed, instead of storing every
+intermediate of every bounce.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from srt_tpu.core.ray import Ray
+from srt_tpu.core.vecmath import where3
+from srt_tpu.render.integrator import bounce_step
+from srt_tpu.scene.ir import Scene
+
+
+@partial(jax.jit, static_argnames=("n_steps", "wavefront", "max_depth",
+                                   "rr_start", "flags", "pdf_floor",
+                                   "checkpoint"))
+def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
+                wavefront: int, max_depth: int, rr_start: int = 1 << 30,
+                flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True):
+    """Trace a queue of N primary rays -> ((N, 3) radiance, (N,) finished).
+
+    ``finished`` is 1.0 for rays whose path terminated naturally inside the
+    budget, else the ray's entry is its truncated partial radiance with
+    ``finished`` still counted (= 1.0) once flushed at the end; rays never
+    started (budget far too small) report 0 radiance / 0 finished.
+    """
+    n = rays.origin.shape[0]
+    m = min(wavefront, n)
+
+    zeros3 = jnp.zeros((m, 3), jnp.float32)
+    state = dict(
+        cursor=jnp.int32(0),
+        out=jnp.zeros((n, 3), jnp.float32),
+        started=jnp.zeros((n,), jnp.float32),
+        rid=jnp.zeros((m,), jnp.int32),
+        o=zeros3, d=zeros3.at[:, 2].set(1.0),
+        time=jnp.zeros((m,), jnp.float32),
+        beta=zeros3, radiance=zeros3,
+        alive=jnp.zeros((m,), bool),
+        salt=jnp.zeros((m,), jnp.uint32),
+        depth=jnp.zeros((m,), jnp.int32),
+    )
+
+    def step(st, _):
+        # --- regenerate dead lanes from the queue (regen.py:88-114) ------
+        need = ~st["alive"]
+        k = jnp.cumsum(need.astype(jnp.int32))
+        wid = st["cursor"] + k - 1
+        take = need & (wid < n)
+        src = jnp.clip(wid, 0, n - 1)
+        rid = jnp.where(take, src, st["rid"])
+        st = dict(
+            cursor=st["cursor"] + jnp.sum(take.astype(jnp.int32)),
+            out=st["out"],
+            started=st["started"].at[src].add(take.astype(jnp.float32)),
+            rid=rid,
+            o=where3(take, rays.origin[src], st["o"]),
+            d=where3(take, rays.direction[src], st["d"]),
+            time=jnp.where(take, rays.time[src], st["time"]),
+            beta=where3(take, jnp.ones_like(st["beta"]), st["beta"]),
+            radiance=where3(take, jnp.zeros_like(st["radiance"]),
+                            st["radiance"]),
+            alive=st["alive"] | take,
+            salt=jnp.where(take, salts[src], st["salt"]),
+            depth=jnp.where(take, 0, st["depth"]),
+        )
+
+        # --- one bounce ---------------------------------------------------
+        was_alive = st["alive"]
+        nxt = bounce_step(
+            scene,
+            {k2: st[k2] for k2 in ("o", "d", "time", "beta", "radiance",
+                                   "alive", "salt", "depth")},
+            max_depth, rr_start, flags, pdf_floor)
+        alive = nxt["alive"] & (nxt["depth"] < max_depth)
+
+        # --- flush finished paths ----------------------------------------
+        finished = was_alive & ~alive
+        contrib = jnp.where(finished[:, None], nxt["radiance"], 0.0)
+        contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
+        out = st["out"].at[st["rid"]].add(contrib)
+
+        return dict(cursor=st["cursor"], out=out, started=st["started"],
+                    rid=st["rid"], o=nxt["o"], d=nxt["d"], time=nxt["time"],
+                    beta=nxt["beta"], radiance=nxt["radiance"], alive=alive,
+                    salt=nxt["salt"], depth=nxt["depth"]), None
+
+    body = jax.checkpoint(step) if checkpoint else step
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+
+    # Budget-exhausted lanes: flush their truncated partial radiance.
+    contrib = jnp.where(state["alive"][:, None], state["radiance"], 0.0)
+    contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
+    out = state["out"].at[state["rid"]].add(contrib)
+    return out, state["started"]
+
+
+def steps_for(n_rays: int, wavefront: int, depth_budget: float,
+              max_depth: int) -> int:
+    """Static step budget: queue-drain steps at the expected mean path
+    length plus a full-depth tail."""
+    m = min(wavefront, n_rays)
+    return int(-(-int(n_rays * depth_budget) // m)) + max_depth

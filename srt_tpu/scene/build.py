@@ -350,6 +350,21 @@ class SceneBuilder:
         bvh, order = build_bvh(p, leaf_size=self.bvh_leaf_size)
         p, uv, n, tm = p[order], uv[order], n[order], tm[order]
 
+        # Two-level clustering (accel/cluster.py) for the big-mesh Pallas
+        # kernel; skipped for tri-free scenes.
+        cluster_kw: dict = {}
+        if len(p):
+            from srt_tpu.accel.cluster import build_clusters
+            cl = build_clusters(bvh, p[:, 0], p[:, 1], p[:, 2])
+            cluster_kw = dict(
+                top_lo=jnp.asarray(cl.top_lo), top_hi=jnp.asarray(cl.top_hi),
+                top_skip=jnp.asarray(cl.top_skip),
+                top_cluster=jnp.asarray(cl.top_cluster),
+                top_tri_base=jnp.asarray(cl.top_tri_base),
+                cl_nodes_f=jnp.asarray(cl.cl_nodes_f),
+                cl_nodes_i=jnp.asarray(cl.cl_nodes_i),
+                cl_tris=jnp.asarray(cl.cl_tris))
+
         # media
         m_k = arr([m[0] for m in self._med], i32, ())
         m_c = arr([m[1] for m in self._med], f32, (3,))
@@ -397,6 +412,7 @@ class SceneBuilder:
             tex_img=j(arr(self._tex_img, i32, (3,))),
             atlas=j(atlas), perlin_vec=j(pv), perlin_perm=j(perm),
             merl=j(merl), light_kind=j(lk), light_index=j(li),
+            **cluster_kw,
         )
 
 

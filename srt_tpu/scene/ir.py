@@ -67,6 +67,15 @@ class SceneFlags(NamedTuple):
     tex_kinds: tuple
     mat_kinds: tuple
     bvh_leaf: int = 4   # widest BVH leaf (static loop bound in traversal)
+    # Reproduce the reference's *as-implemented* estimator instead of the
+    # physically-correct one (for golden-image comparison against its
+    # checked-in renders). Concretely (see materials.bsdf_weight/bsdf_pdf):
+    # Beckmann's per-bounce numerator is its VNDF sampling pdf
+    # (material.h:160-185) and its mixture-pdf term is the BRDF-shaped
+    # D*G/(4 cosI cosO) that beckmann_pdf::generate stores (pdf.h:133-152);
+    # Oren-Nayar's numerator is plain cos/pi (material.h:134-138) while the
+    # full A+B formula sits in the pdf (pdf.h:64-101).
+    ref_parity: bool = False
 
     @staticmethod
     def of(scene) -> "SceneFlags | None":
@@ -172,6 +181,18 @@ class Scene(NamedTuple):
     # --- light list for NEE (the reference's hlist) -----------------------
     light_kind: jnp.ndarray    # (L,) int32 LightKind
     light_index: jnp.ndarray   # (L,) int32 index into rects / spheres
+
+    # --- two-level BVH (accel/cluster.py) for the big-mesh Pallas kernel --
+    # None when the scene has no triangles. Top tree is VMEM-resident in
+    # the kernel; cluster blocks stay in HBM and are DMA'd per visit.
+    top_lo: jnp.ndarray | None = None        # (Bt, 3)
+    top_hi: jnp.ndarray | None = None        # (Bt, 3)
+    top_skip: jnp.ndarray | None = None      # (Bt,) i32
+    top_cluster: jnp.ndarray | None = None   # (Bt,) i32, -1 internal
+    top_tri_base: jnp.ndarray | None = None  # (Bt,) i32
+    cl_nodes_f: jnp.ndarray | None = None    # (Nc, 6, NODE_CAP/128, 128)
+    cl_nodes_i: jnp.ndarray | None = None    # (Nc, 3, NODE_CAP/128, 128)
+    cl_tris: jnp.ndarray | None = None       # (Nc, 9, TRI_CAP/128, 128)
 
     @property
     def n_spheres(self) -> int:

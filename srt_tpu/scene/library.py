@@ -47,6 +47,11 @@ def _register(fn):
     return fn
 
 
+def list_scenes() -> list[str]:
+    """All registered scene names (library order)."""
+    return list(SCENES)
+
+
 def get_scene(name: str, aspect: float = 1.0, **kw):
     """Build a scene by name (+aliases: ``cornell``, ``balls``, ...)."""
     aliases = {"cornell": "cornell_box", "teapot": "teapot_scene",
@@ -78,6 +83,80 @@ def _env_dome(b: SceneBuilder, lookfrom, image_rel: str, info: dict,
         load_image_asset(image_rel, fallback_color=fallback), max_tex)
     tex = b.image(img)
     b.sphere(lookfrom, 10000.0, b.diffuse_light(tex), flip=True)
+
+
+@_register
+def random_scene(aspect: float = 1.0, max_tex: int | None = None,
+                 n_grid: int = 11, seed: int = 7, **_kw):
+    """Reference scene ``random_scene`` (``Raytracing_n.cpp:108-176``):
+    the RTiOW cover — checker ground, 22x22 grid of random drifting
+    (motion-blurred) lambertian / metal / dielectric spheres, three hero
+    spheres — inside a six-face **cubemap environment** (sky_1
+    Front..Bottom as inward diffuse-light rects, ``:152-170``), all six
+    faces registered as NEE lights (``*hlist``, ``:172``).
+
+    The reference's layout is a drand48 sequence (unseeded, per-run
+    random); we use a pinned numpy seed — same distribution, stable
+    fixture.
+    """
+    b = SceneBuilder()
+    info: dict = {}
+    rng = np.random.default_rng(seed)
+
+    checker = b.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9))
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian(checker))
+
+    gray = b.lambertian(b.constant((0.5, 0.5, 0.5)))
+    glass = b.dielectric(1.5)
+    for a in range(-n_grid, n_grid):
+        for c in range(-n_grid, n_grid):
+            choose = rng.uniform()
+            center = np.array([a + 0.9 * rng.uniform(), 0.2,
+                               c + rng.uniform()], np.float32)
+            if np.linalg.norm(center - np.array([4, 0.2, 0])) <= 0.9:
+                continue
+            if choose < 0.8:  # drifting gray lambertian (moving_sphere)
+                b.sphere(center, 0.2, gray,
+                         center1=center + np.array([0, 0.5 * rng.uniform(),
+                                                    0], np.float32))
+            elif choose < 0.95:
+                metal = b.metal((0.5 * (1 + rng.uniform()),
+                                 0.5 * (1 + rng.uniform()),
+                                 0.5 * (1 + rng.uniform())),
+                                0.5 * rng.uniform())
+                b.sphere(center, 0.2, metal)
+            else:
+                b.sphere(center, 0.2, glass)
+
+    b.sphere((0, 1, 0), 1.0, glass)
+    b.sphere((-4, 1, 0), 1.0, b.lambertian(b.constant((0.4, 0.2, 0.1))))
+    b.sphere((4, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.0))
+
+    # Six-face cube environment, inward normals (Raytracing_n.cpp:152-170).
+    def face(rel, add):
+        if find_asset(f"environment_map/sky_1/{rel}.jpg") is None:
+            info.setdefault("skipped", []).append(f"sky_1/{rel}")
+        img = _maybe_downsample(load_image_asset(
+            f"environment_map/sky_1/{rel}.jpg", (0.6, 0.7, 0.9)), max_tex)
+        rid = add(b.diffuse_light(b.image(img)))
+        b.light_rect(rid)
+
+    # Deviation from a reference *bug*, intended behavior kept (SURVEY §7):
+    # its Left/Right faces (:156-161) have outward normals, so the
+    # one-sided emitter (material.h:348-354) renders them black; all six
+    # faces here emit inward.
+    e = 100.0
+    face("Front", lambda m: b.xy_rect(-e, e, -e, e, -e, m))
+    face("Back", lambda m: b.xy_rect(-e, e, -e, e, e, m, flip=True))
+    face("Left", lambda m: b.yz_rect(-e, e, -e, e, e, m, flip=True))
+    face("Right", lambda m: b.yz_rect(-e, e, -e, e, -e, m))
+    face("Top", lambda m: b.xz_rect(-e, e, -e, e, e, m, flip=True))
+    face("Bottom", lambda m: b.xz_rect(-e, e, -e, e, -e, m))
+
+    cam = Camera.look_at((-10.0, 6.0, -15.0), (0.0, 0.0, 0.0), vfov=40.0,
+                         aspect=aspect, aperture=0.0, focus_dist=10.0)
+    info["lights"] = 6
+    return b.build(), cam, info
 
 
 @_register
@@ -350,9 +429,17 @@ def jadebunny_scene(aspect: float = 1.0, max_tex: int | None = None, **_kw):
 
 @_register
 def soldier_scene(aspect: float = 1.0, max_tex: int | None = None,
-                  first_mesh_only: bool = False, **_kw):
+                  first_mesh_only: bool = False,
+                  floor_variant: str = "ref", no_soldier: bool = False,
+                  **_kw):
     """Reference scene 6 (``Raytracing_n.cpp:585-657``): FBX soldier over a
-    glass-coated wood floor, sky4 dome, thin-lens bokeh (aperture 10)."""
+    glass-coated wood floor, sky4 dome, thin-lens bokeh (aperture 10).
+
+    ``floor_variant`` / ``no_soldier`` are golden-debugging knobs
+    (tools/regions.py): "ref" = wood box + glass coat box as the reference
+    builds them; "nocoat" drops the glass box; "lambert" swaps the wood's
+    Oren-Nayar for Lambertian; "rect" uses a single xz_rect floor.
+    """
     from srt_tpu.io.mesh import load_mesh
 
     lookfrom = (300.0, 500.0, -800.0)
@@ -367,16 +454,25 @@ def soldier_scene(aspect: float = 1.0, max_tex: int | None = None,
     wood = b.image(_maybe_downsample(load_image_asset(
         "textures/TexturesCom_Wood_Wenge_1K_albedo.png", (0.3, 0.2, 0.1)),
         max_tex))
-    floor_mat = b.oren_nayar(wood, 0.5)                           # :619
-    b.box((0, -0.1, 0), (600, 0.1, 600), floor_mat)               # :626
-    b.box((0, -1, 0), (600, 1, 600), b.dielectric(1.4))           # :628
+    if floor_variant == "lambert":
+        floor_mat = b.lambertian(wood)
+    else:
+        floor_mat = b.oren_nayar(wood, 0.5)                       # :619
+    if floor_variant == "rect":
+        b.xz_rect(0, 600, 0, 600, 0.1, floor_mat)
+    else:
+        b.box((0, -0.1, 0), (600, 0.1, 600), floor_mat)           # :626
+    if floor_variant not in ("nocoat", "rect"):
+        b.box((0, -1, 0), (600, 1, 600), b.dielectric(1.4))       # :628
 
     _env_dome(b, lookfrom, "environment_map/sky4.jpg", info, max_tex)
 
     fbx = find_asset("models/Soilder.FBX")
-    if fbx is None:
+    if no_soldier:
+        fbx = None
+    elif fbx is None:
         info.setdefault("skipped", []).append("models/Soilder.FBX")
-    else:
+    if fbx is not None:
         if find_asset("textures/NPC_YuanChengBing_A.png") is None:
             info.setdefault("skipped", []).append("soldier texture")
         skin = b.image(_maybe_downsample(load_image_asset(

@@ -78,10 +78,9 @@ def render_resumable(scene, camera, config, ckpt_path: str,
     (accumulation happens in the same sample-chunk order).
     """
     from srt_tpu.core.sobol import sobol_points
-    from srt_tpu.render.api import _render_chunk, _rng_jitter
-    from srt_tpu.scene.ir import SceneFlags
+    from srt_tpu.render.api import _render_chunk, _rng_jitter, scene_flags
 
-    flags = SceneFlags.of(scene)  # same shader specialization as render()
+    flags = scene_flags(scene, config)  # same specialization as render()
     w, h, spp = config.width, config.height, config.spp
     n_pixels = w * h
 

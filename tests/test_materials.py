@@ -184,3 +184,80 @@ def test_oren_nayar_sigma0_equals_lambertian():
     w_lam = np.asarray(mats.bsdf_weight(scene, m_lam, jnp.zeros((n, 2)),
                                         jnp.zeros((n, 3)), normal, ray_dir, wi))
     assert np.allclose(w_on, w_lam, atol=1e-5)
+
+
+def test_ref_parity_estimator_formulas():
+    """ref_parity (SceneFlags.ref_parity) swaps numerator/denominator like
+    the reference: Beckmann weight = D*G1/(4 cosO) (material.h:160-185) with
+    pdf = D*G/(4 cosI cosO) (pdf.h:133-140); Oren-Nayar weight = cos/pi
+    (material.h:134-138) with the full A+B formula as pdf (pdf.h:64-101)."""
+    from srt_tpu.core import frame
+    from srt_tpu.materials.microfacet import beckmann_d, g, g1
+    from srt_tpu.scene.ir import SceneFlags
+
+    n = 1 << 12
+    rng = np.random.default_rng(7)
+    normal = jnp.asarray(np.broadcast_to([0.0, 0.0, 1.0], (n, 3)), jnp.float32)
+    ray_dir = jnp.asarray(np.broadcast_to(
+        np.array([0.4, 0.2, -0.8]) / np.linalg.norm([0.4, 0.2, -0.8]),
+        (n, 3)), jnp.float32)
+    u1 = jnp.asarray(rng.uniform(1e-6, 1, n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(0, 1, n), jnp.float32)
+    uv = jnp.zeros((n, 2))
+    p = jnp.zeros((n, 3))
+
+    # --- Beckmann ---------------------------------------------------------
+    # isotropic roughness: the recomputation below ignores the ONB's
+    # azimuthal rotation, which only cancels when alphax == alphay
+    scene, mid = _scene_with(
+        lambda b: b.beckmann(b.constant((1.0, 1.0, 1.0)), 0.9, 0.9))
+    mat = jnp.zeros((n,), jnp.int32) + mid
+    flags = SceneFlags.of(scene)
+    parity = flags._replace(ref_parity=True)
+    wi = mats.sample_bsdf(scene, mat, normal, ray_dir, u1, u2, flags)
+
+    w_par = np.asarray(mats.bsdf_weight(scene, mat, uv, p, normal, ray_dir,
+                                        wi, parity))[:, 0]
+    pdf_par = np.asarray(mats.bsdf_pdf(scene, mat, normal, ray_dir, wi,
+                                       parity))
+    # With the z-up frame, local == world here.
+    wo = -ray_dir
+    wh = wi + wo
+    wh = wh / jnp.linalg.norm(wh, axis=-1, keepdims=True)
+    ax = ay = scene.mat_params[mid, 0]
+    want_w = np.asarray(beckmann_d(wh, ax, ay) * g1(wo, ax, ay)
+                        / (4.0 * frame.abs_cos_theta(wo)))
+    want_pdf = np.asarray(
+        beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
+        / (4.0 * frame.abs_cos_theta(wi) * frame.abs_cos_theta(wo)))
+    ok = np.asarray(frame.same_hemisphere(wo, wi))
+    np.testing.assert_allclose(w_par[ok], want_w[ok], rtol=1e-4)
+    np.testing.assert_allclose(pdf_par[ok], want_pdf[ok], rtol=1e-4)
+
+    # Parity weight is >= the physically-correct one (G1 >= G, cosI <= 1)
+    # up to the Lambda rational fit's tiny negative dip near a = 1.6 (same
+    # dip as microfacet_distribution.h:172): the reference's soldier
+    # renders *brighter* than the correct estimator.
+    w_std = np.asarray(mats.bsdf_weight(scene, mat, uv, p, normal, ray_dir,
+                                        wi, flags))[:, 0]
+    assert np.all(w_par[ok] >= w_std[ok] * (1.0 - 1e-3))
+    assert w_par[ok].mean() > w_std[ok].mean()
+
+    # --- Oren-Nayar -------------------------------------------------------
+    scene, mid = _scene_with(
+        lambda b: b.oren_nayar(b.constant((1.0, 1.0, 1.0)), 20.0))
+    mat = jnp.zeros((n,), jnp.int32) + mid
+    flags = SceneFlags.of(scene)
+    parity = flags._replace(ref_parity=True)
+    wi = mats.sample_bsdf(scene, mat, normal, ray_dir, u1, u2, flags)
+    cos_i = np.maximum(np.asarray(wi[..., 2]), 0.0)
+
+    w_par = np.asarray(mats.bsdf_weight(scene, mat, uv, p, normal, ray_dir,
+                                        wi, parity))[:, 0]
+    np.testing.assert_allclose(w_par, cos_i / np.pi, rtol=1e-4, atol=1e-7)
+    # pdf under parity carries the full O-N term = standard-mode weight.
+    pdf_par = np.asarray(mats.bsdf_pdf(scene, mat, normal, ray_dir, wi,
+                                       parity))
+    w_std = np.asarray(mats.bsdf_weight(scene, mat, uv, p, normal, ray_dir,
+                                        wi, flags))[:, 0]
+    np.testing.assert_allclose(pdf_par, w_std, rtol=1e-4, atol=1e-7)

@@ -78,3 +78,33 @@ def test_pallas_gating():
         assert not pallas_available(scene, interpret=True)
     finally:
         pi._VMEM_SCENE_BUDGET = old
+
+
+@pytest.mark.parametrize("n_tris,n_rays", [(1500, 2000)])
+def test_pallas_big_matches_xla_traversal(n_tris, n_rays):
+    """Two-level DMA kernel (interpret mode) vs the XLA lockstep loop."""
+    scene, rng = _soup_scene(n_tris, seed=3)
+    assert scene.cl_tris is not None and scene.cl_tris.shape[0] >= 2, \
+        "mesh too small to exercise multiple clusters"
+    ray = _rays(rng, n_rays)
+    hx = intersect_tris(scene, ray, 1e-3, 3e38)
+    hp = intersect_tris_via_pallas(scene, ray, 1e-3, interpret=True,
+                                   big=True)
+    a, b = np.asarray(hx.hit), np.asarray(hp.hit)
+    np.testing.assert_array_equal(a, b)
+    both = a & b
+    np.testing.assert_allclose(np.asarray(hx.t)[both],
+                               np.asarray(hp.t)[both], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(hx.mat)[both],
+                                  np.asarray(hp.mat)[both])
+    np.testing.assert_allclose(np.asarray(hx.uv)[both],
+                               np.asarray(hp.uv)[both], rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_big_gating():
+    from srt_tpu.pallas import pallas_big_available
+
+    scene, _ = _soup_scene(10)
+    assert pallas_big_available(scene, interpret=True)
+    assert not pallas_big_available(scene._replace(cl_tris=None),
+                                    interpret=True)

@@ -164,3 +164,26 @@ def test_medium_box_matches_enclosing_behavior():
     # deterministic given the same stream.
     assert np.isfinite(far).all()
     assert abs(far.mean() - clear.mean()) < 0.02
+
+
+def test_dome_light_in_nee_list():
+    """A dome registered as an NEE *light* (``b.light_sphere``) must still
+    give the analytic furnace value: shading points are *inside* the light
+    sphere, exercising the uniform-sphere fallback of ``_sphere_sample`` /
+    ``_sphere_pdf`` (the cone construction of sphere.h:7-15 degenerates
+    there; env_sphere.h:40-48 is the reference's dome-light analogue)."""
+    albedo = 0.6
+    b = SceneBuilder()
+    m = b.lambertian(b.constant((albedo,) * 3))
+    b.sphere((0, 0, 0), 1.0, m)
+    dome = b.sphere((0, 0, 0), 50.0,
+                    b.diffuse_light(b.constant((1.0, 1.0, 1.0))), env=True)
+    b.light_sphere(dome)
+    scene = b.build()
+    cam = Camera.look_at(lookfrom=(0, 0, 3), lookat=(0, 0, 0), vfov=30.0,
+                         aspect=1.0)
+    cfg = RenderConfig(width=24, height=24, spp=64, max_depth=8,
+                       sample_chunk=64)
+    img = np.asarray(render(scene, cam, cfg))
+    center = img[8:16, 8:16].mean()
+    assert abs(center - albedo) / albedo < 0.04, center

@@ -16,7 +16,8 @@ from srt_tpu.scene.teapot import create_teapot
 
 _HAVE_ASSETS = find_asset("environment_map/sky_2.png") is not None
 
-_SMALL = {"teapot_scene": dict(divs=6), "final": dict(n_cluster=40)}
+_SMALL = {"teapot_scene": dict(divs=6), "final": dict(n_cluster=40),
+          "random_scene": dict(n_grid=4)}
 
 
 @pytest.mark.parametrize("name", sorted(SCENES))
@@ -26,7 +27,7 @@ def test_scene_builds(name):
         scene, cam, info = get_scene(name, aspect=1.0, max_tex=32,
                                      **_SMALL.get(name, {}))
     assert scene.n_lights >= 1
-    assert info["lights"] == 1 or name == "cornell_boxes"
+    assert info["lights"] in (1, 6) or name == "cornell_boxes"
     # every material id in every primitive table is valid
     n_mat = scene.mat_type.shape[0]
     for tbl in (scene.sph_mat, scene.rect_mat, scene.tri_mat, scene.med_mat):
@@ -141,3 +142,25 @@ def test_box_instancing_rotate_translate():
     r0 = np.asarray(render(s0, c0, cfg))
     assert np.isfinite(r45).all()
     assert np.abs(r45 - r0).max() > 0.01
+
+
+def test_random_scene_smoke():
+    """RTiOW-cover scene (Raytracing_n.cpp:108-176): checker ground,
+    moving spheres, cubemap env faces as lights — smoke render."""
+    import numpy as np
+    from srt_tpu import RenderConfig, render
+    from srt_tpu.scene.library import get_scene
+    from srt_tpu.scene.ir import MaterialType, TextureType
+
+    scene, cam, info = get_scene("random_scene", aspect=1.0, max_tex=64,
+                                 n_grid=4)
+    assert info["lights"] == 6
+    # exercises checker + moving spheres (center0 != center1 somewhere)
+    tt = np.asarray(scene.tex_type)
+    assert (tt == TextureType.CHECKER).any()
+    assert (np.asarray(scene.sph_center0)
+            != np.asarray(scene.sph_center1)).any()
+    img = np.asarray(render(scene, cam, RenderConfig(
+        width=24, height=24, spp=4, max_depth=5)))
+    assert np.isnan(img).sum() == 0
+    assert img.mean() > 0.01

@@ -34,11 +34,18 @@ def main() -> None:
     ap.add_argument("--engine", default="regen", choices=["regen", "scan"])
     ap.add_argument("--downsample", type=int, default=4)
     ap.add_argument("--ref-parity", action="store_true",
-                    help="reproduce reference bugs that shape its goldens "
-                         "(first-mesh-only model loading)")
+                    help="reproduce reference behaviors that shape its "
+                         "goldens: first-mesh-only model loading and the "
+                         "as-implemented Beckmann/Oren-Nayar estimator")
     ap.add_argument("--pdf-floor", type=float, default=1e-9,
                     help="mixture-pdf cutoff; 1e-4 suppresses fireflies")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out-name", default=None,
+                    help="override the output ppm filename")
     args = ap.parse_args()
+
+    from srt_tpu.utils.cache import enable as enable_cache
+    enable_cache()
 
     import numpy as np
 
@@ -56,7 +63,8 @@ def main() -> None:
 
     cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                        max_depth=args.max_depth, rr_start=1 << 30,
-                       pdf_floor=args.pdf_floor)
+                       pdf_floor=args.pdf_floor,
+                       ref_parity=args.ref_parity, seed=args.seed)
     fn = render_regen if args.engine == "regen" else render
     t0 = time.time()
     img = np.asarray(fn(scene, camera, cfg))
@@ -64,7 +72,8 @@ def main() -> None:
     tm = np.asarray(film.tonemap(img))
 
     os.makedirs(args.out_dir, exist_ok=True)
-    ours_path = os.path.join(args.out_dir, f"{args.scene}_{args.size}.ppm")
+    name = args.out_name or f"{args.scene}_{args.size}.ppm"
+    ours_path = os.path.join(args.out_dir, name)
     write_ppm(ours_path, tm)
 
     result = {"scene": args.scene, "spp": args.spp, "size": args.size,
