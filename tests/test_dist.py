@@ -69,3 +69,21 @@ def test_train_step_sharded_matches_single():
     assert abs(float(l1) - float(l8)) < 1e-6
     for k in params:
         assert np.allclose(np.asarray(p1[k]), np.asarray(p8[k]), atol=1e-5)
+
+
+def test_scaling_harness_smoke():
+    """tools/scaling.py core loop: efficiency table + bit-exactness on a
+    2-device sweep (BASELINE row 4's harness, CI-smoke-tested)."""
+    import subprocess, sys, os, json
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    out = subprocess.run(
+        [sys.executable, "tools/scaling.py", "--width", "16", "--spp", "2",
+         "--max-depth", "3", "--reps", "1", "--devices", "1", "2"],
+        capture_output=True, text=True, timeout=600, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    assert data["devices"]["2"]["bit_exact_vs_1dev"] is True
+    assert data["devices"]["1"]["efficiency_vs_linear"] == 1.0
