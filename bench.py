@@ -60,6 +60,8 @@ def main() -> None:
     ap.add_argument("--matrix-spp", type=int, default=8)
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
+    ap.add_argument("--wavefront", type=int, default=1 << 16,
+                    help="regen wavefront lanes (64k fastest on v5e)")
     args = ap.parse_args()
     height = args.height or args.width
 
@@ -96,7 +98,8 @@ def main() -> None:
                           max_depth=args.max_depth,
                           rr_start=1 << 30,  # reference parity: no roulette
                           sample_chunk=args.sample_chunk,
-                          pixel_chunk=1 << 20)
+                          pixel_chunk=1 << 20,
+                          wavefront=args.wavefront)
 
     engines = {"regen": render_regen, "scan": render}
     run_engines = list(engines) if args.engine == "both" else [args.engine]

@@ -45,8 +45,9 @@ def splice(scene: Scene, params: dict[str, Any]) -> Scene:
 
 def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
                   spp: int, max_depth: int, seed, engine: str = "regen",
-                  wavefront: int = 1 << 15,
-                  depth_budget: float = 4.0) -> jnp.ndarray:
+                  wavefront: int = 1 << 13,
+                  depth_budget: float = 4.0,
+                  drain: int | None = 12) -> jnp.ndarray:
     """Mean radiance per pixel (P, 3), fully traceable/differentiable.
 
     Unlike the forward-path :func:`srt_tpu.render.api.render`, the pixel
@@ -83,7 +84,8 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
     flags = SceneFlags.of(scene)
     if engine == "regen":
         from srt_tpu.render.regen_scan import steps_for, trace_queue
-        steps = steps_for(p * spp, wavefront, depth_budget, max_depth)
+        steps = steps_for(p * spp, wavefront, depth_budget, max_depth,
+                          drain=drain)
         radiance, _ = trace_queue(scene, rays, sampler.salt, n_steps=steps,
                                   wavefront=wavefront, max_depth=max_depth,
                                   flags=flags)
@@ -94,18 +96,20 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
 
 
 def image_loss(params, scene, camera, target, pixel_ids, *, width, height,
-               spp, max_depth, seed, engine="regen"):
+               spp, max_depth, seed, engine="regen", engine_kw=None):
     """L2 loss between the rendered pixels and target pixels (P, 3)."""
     img = render_pixels(splice(scene, params), camera, pixel_ids,
                         width=width, height=height, spp=spp,
-                        max_depth=max_depth, seed=seed, engine=engine)
+                        max_depth=max_depth, seed=seed, engine=engine,
+                        **(engine_kw or {}))
     return jnp.mean((img - target) ** 2)
 
 
 def make_train_step(scene: Scene, camera, optimizer, *, width: int,
                     height: int, spp: int, max_depth: int,
                     mesh: Mesh | None = None,
-                    engine: str = "regen") -> Callable:
+                    engine: str = "regen",
+                    engine_kw: dict | None = None) -> Callable:
     """Build a jitted SGD step ``(params, opt_state, target, seed) ->
     (params, opt_state, loss)``.
 
@@ -122,7 +126,8 @@ def make_train_step(scene: Scene, camera, optimizer, *, width: int,
             loss, grads = jax.value_and_grad(image_loss)(
                 params, scene, camera, target.reshape(n_pixels, 3),
                 pixel_ids, width=width, height=height, spp=spp,
-                max_depth=max_depth, seed=seed, engine=engine)
+                max_depth=max_depth, seed=seed, engine=engine,
+                engine_kw=engine_kw)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return jax.tree.map(lambda p, u: p + u, params, updates), \
                 opt_state, loss
@@ -137,7 +142,7 @@ def make_train_step(scene: Scene, camera, optimizer, *, width: int,
         loss, grads = jax.value_and_grad(image_loss)(
             params, scene_, camera_, target, pixel_ids,
             width=width, height=height, spp=spp, max_depth=max_depth,
-            seed=seed, engine=engine)
+            seed=seed, engine=engine, engine_kw=engine_kw)
         loss = jax.lax.pmean(loss, axis)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads)
         return loss, grads

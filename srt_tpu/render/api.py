@@ -43,6 +43,10 @@ class RenderConfig:
                                      # as-implemented Beckmann/Oren-Nayar
                                      # estimator (SceneFlags.ref_parity) for
                                      # golden-image comparison
+    wavefront: int = 1 << 16         # persistent-wavefront lanes (regen);
+                                     # 64k measured fastest on v5e (PERF.md
+                                     # sweep: 16k/32k/48k/64k/128k/256k/512k
+                                     # -> 64k wins; big states thrash HBM)
 
 
 def scene_flags(scene, config):

@@ -38,11 +38,58 @@ _DIM_RETRY = 17       # parity-mode resample rounds (3 dims each)
 _PARITY_RETRIES = 4
 
 
+def _mesh_medium_crossings(scene: Scene, ray: Ray, m: int):
+    """(t_in, t_out, ok) for medium ``m``'s triangle boundary.
+
+    The reference finds the first crossing from -FLT_MAX and the next one
+    after it (``constant_medium.h:23-27``, enabled by the two-sided
+    triangle ``is_medium`` path, ``triangle.h:108-115``) — for a convex
+    boundary that is the smallest and second-smallest signed crossing.
+    """
+    n = ray.origin.shape[0]
+    big = jnp.float32(_BIG)
+    t1 = jnp.full((n,), big)
+    t2 = jnp.full((n,), big)
+    k = scene.med_tri_p0.shape[0]
+    chunk = 512
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        p0 = scene.med_tri_p0[c0:c1]
+        e1 = scene.med_tri_p1[c0:c1] - p0
+        e2 = scene.med_tri_p2[c0:c1] - p0
+        mine = scene.med_tri_mid[c0:c1] == m
+        d = ray.direction[:, None, :]
+        pv = jnp.cross(d, e2[None])
+        det = jnp.sum(e1[None] * pv, axis=-1)
+        inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+        tv = ray.origin[:, None, :] - p0[None]
+        u = jnp.sum(tv * pv, axis=-1) * inv
+        qv = jnp.cross(tv, e1[None])
+        v = jnp.sum(d * qv, axis=-1) * inv
+        t = jnp.sum(e2[None] * qv, axis=-1) * inv
+        # two-sided, any sign of t (crossings behind the origin count:
+        # a ray starting inside clamps its entry to 0 below)
+        valid = (mine[None] & (jnp.abs(det) > 1e-10) & (u >= 0.0)
+                 & (v >= 0.0) & (u + v <= 1.0) & (t > -1e30))
+        tt = jnp.where(valid, t, big)
+        # merge this chunk's two smallest into the running (t1, t2)
+        c_min = jnp.min(tt, axis=1)
+        tt2 = jnp.where(tt <= c_min[:, None] + 1e-4, big, tt)
+        c_second = jnp.min(tt2, axis=1)
+        all4 = jnp.stack([t1, t2, c_min, c_second], axis=1)
+        t1 = jnp.min(all4, axis=1)
+        all4b = jnp.where(all4 <= t1[:, None] + 1e-4, big, all4)
+        t2 = jnp.min(all4b, axis=1)
+    ok = (t1 < big) & (t2 < big)
+    return t1, t2, ok
+
+
 def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
     """Override the surface hit with a nearer in-scattering event, if any.
 
-    Exponential free-flight inside each sphere-bounded homogeneous medium
-    (math of ``constant_medium.h:19-50``); with unit ray directions the
+    Exponential free-flight inside each homogeneous medium (math of
+    ``constant_medium.h:19-50``; sphere/box analytic, mesh boundaries via
+    :func:`_mesh_medium_crossings`); with unit ray directions the
     t-parameter *is* the distance, so no length rescaling is needed.
     """
     hit = surf
@@ -68,6 +115,12 @@ def _apply_media(scene: Scene, ray: Ray, sampler: RaySampler, surf: Hit) -> Hit:
         t_in = jnp.where(is_box, box_in, sph_in)
         t_out = jnp.where(is_box, box_out, sph_out)
         ok = jnp.where(is_box, box_ok, sph_ok)
+        if scene.med_tri_p0 is not None:
+            mesh_in, mesh_out, mesh_ok = _mesh_medium_crossings(scene, ray, m)
+            is_mesh = scene.med_kind[m] == 2
+            t_in = jnp.where(is_mesh, mesh_in, t_in)
+            t_out = jnp.where(is_mesh, mesh_out, t_out)
+            ok = jnp.where(is_mesh, mesh_ok, ok)
         # Boundary crossings from -inf (constant_medium.h:23): entry clamps
         # to 0 when the ray starts inside.
         t_enter = jnp.maximum(t_in, 0.0)

@@ -86,6 +86,52 @@ def _sphere_uv(unit_p):
     return jnp.stack([u, v], axis=-1)
 
 
+def intersect_spheres_via_pallas(scene: Scene, ray: Ray, t_min,
+                                 interpret: bool) -> Hit:
+    """Hit assembly around the fused Pallas sphere sweep.
+
+    The kernel returns the discrete winner (detached, like argmin); ``t``
+    is re-derived differentiably here for that one sphere, so geometry
+    gradients (center/radius, e.g. an optimized light sphere) match the
+    XLA path.
+    """
+    from srt_tpu.pallas.spheres import sphere_winner_pallas
+
+    _, k = jax.tree.map(jax.lax.stop_gradient,
+                        sphere_winner_pallas(scene, ray, t_min,
+                                             interpret=interpret))
+    hit_any = k >= 0
+    kc = jnp.maximum(k, 0)
+
+    cen0 = scene.sph_center0[kc]
+    cen1 = scene.sph_center1[kc]
+    times = scene.sph_times[kc]
+    rad = scene.sph_radius[kc]
+    dt = (ray.time - times[:, 0]) / jnp.maximum(times[:, 1] - times[:, 0],
+                                                1e-20)
+    cen = cen0 + dt[:, None] * (cen1 - cen0)
+    oc = ray.origin - cen
+    b = jnp.sum(oc * ray.direction, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - rad ** 2
+    disc = b * b - c
+    sq = safe_sqrt(disc)
+    t0 = -b - sq
+    t1 = -b + sq
+    valid0 = (disc > 0.0) & (t0 > t_min)
+    t = jnp.where(valid0, t0, t1)
+    env = scene.sph_env[kc]
+    t = jnp.where(env, t1, t)
+
+    hit = hit_any
+    tb = jnp.where(hit, t, _BIG)
+    p = ray.at(jnp.minimum(tb, _T_POS_MAX))
+    unit = (p - cen) / rad[:, None]
+    flip = scene.sph_flip[kc] ^ env
+    normal = jnp.where(flip[:, None], -unit, unit)
+    return Hit(t=tb, hit=hit, p=p, normal=normal, uv=_sphere_uv(unit),
+               mat=scene.sph_mat[kc])
+
+
 def intersect_spheres(scene: Scene, ray: Ray, t_min, t_max) -> Hit:
     """Closest hit among all spheres (incl. moving + env variants).
 
@@ -345,15 +391,22 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
     """
     n = ray.origin.shape[0]
     leaf = flags.bvh_leaf if flags is not None else 4
+    mode = _pallas_mode()
+    interp = mode == "interpret"
     best = Hit.none(n)
     if scene.n_spheres:
-        best = best.closer_of(intersect_spheres(scene, ray, t_min, t_max))
+        from srt_tpu.pallas.spheres import pallas_spheres_available
+        if mode != "off" and pallas_spheres_available(scene,
+                                                     interpret=interp):
+            best = best.closer_of(
+                intersect_spheres_via_pallas(scene, ray, t_min, interp))
+        else:
+            best = best.closer_of(intersect_spheres(scene, ray, t_min,
+                                                    t_max))
     if scene.n_rects:
         best = best.closer_of(intersect_rects(scene, ray, t_min, t_max))
     if scene.n_tris:
-        mode = _pallas_mode()
         from srt_tpu.pallas import pallas_available, pallas_big_available
-        interp = mode == "interpret"
         if mode != "off" and pallas_available(scene, interpret=interp):
             best = best.closer_of(
                 intersect_tris_via_pallas(scene, ray, t_min, interp,

@@ -120,8 +120,16 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
 
 
 def steps_for(n_rays: int, wavefront: int, depth_budget: float,
-              max_depth: int) -> int:
+              max_depth: int, drain: int | None = None) -> int:
     """Static step budget: queue-drain steps at the expected mean path
-    length plus a full-depth tail."""
+    length plus a ``drain`` tail for the last wavefront's stragglers.
+
+    ``drain=None`` uses the bias-free full ``max_depth`` tail; training
+    typically passes a small drain (paths past the budget are truncated —
+    same contract as a depth cap, negligible at sane budgets) because a
+    full tail can dominate the step count when ``n_rays/wavefront`` is
+    small (e.g. +50 steps on a 9-step queue — the round-3 trainbench
+    regression)."""
     m = min(wavefront, n_rays)
-    return int(-(-int(n_rays * depth_budget) // m)) + max_depth
+    tail = max_depth if drain is None else min(drain, max_depth)
+    return int(-(-int(n_rays * depth_budget) // m)) + tail

@@ -60,6 +60,7 @@ class SceneBuilder:
     _rect: list = field(default_factory=list)
     _tris: list = field(default_factory=list)   # list of (p, uv, n, mat) chunks
     _med: list = field(default_factory=list)
+    _med_tris: list = field(default_factory=list)  # (world tris, medium id)
     _lights: list = field(default_factory=list)
     _merl: list = field(default_factory=list)
 
@@ -297,6 +298,24 @@ class SceneBuilder:
         half = np.abs(0.5 * (p1 - p0))
         self._med.append((1, center, 0.0, half, float(density), mat))
 
+    def medium_mesh(self, tri_verts: np.ndarray, density, albedo_tex: int,
+                    scale=(1.0, 1.0, 1.0),
+                    rotate: np.ndarray | None = None,
+                    translate=(0.0, 0.0, 0.0)) -> None:
+        """constant_medium with an arbitrary (convex) triangle-mesh
+        boundary — the reference's ``new constant_medium(hitable*, ...)``
+        over a model, supported there by the triangle ``is_medium``
+        two-sided retry (``triangle.h:108-115``). ``tri_verts``: (T, 3, 3)
+        object-space; instancing baked like :meth:`trimesh`."""
+        mat = self.isotropic(albedo_tex)
+        self._med.append((2, np.zeros(3, np.float32), 0.0,
+                          np.zeros(3, np.float32), float(density), mat))
+        p = np.asarray(tri_verts, np.float32) * np.asarray(scale, np.float32)
+        if rotate is not None:
+            p = p @ np.asarray(rotate, np.float32).T
+        p = p + np.asarray(translate, np.float32)
+        self._med_tris.append((p, len(self._med) - 1))
+
     # NEE light registration (the reference's hlist, Raytracing_n.cpp:930).
     def light_rect(self, rect_id: int) -> None:
         self._lights.append((LightKind.RECT, rect_id))
@@ -365,6 +384,18 @@ class SceneBuilder:
                 cl_nodes_i=jnp.asarray(cl.cl_nodes_i),
                 cl_tris=jnp.asarray(cl.cl_tris))
 
+        # mesh-medium boundary triangles
+        med_tri_kw: dict = {}
+        if self._med_tris:
+            mp = np.concatenate([t[0] for t in self._med_tris])
+            mid = np.concatenate([np.full((len(t[0]),), t[1], i32)
+                                  for t in self._med_tris])
+            med_tri_kw = dict(
+                med_tri_p0=jnp.asarray(mp[:, 0]),
+                med_tri_p1=jnp.asarray(mp[:, 1]),
+                med_tri_p2=jnp.asarray(mp[:, 2]),
+                med_tri_mid=jnp.asarray(mid))
+
         # media
         m_k = arr([m[0] for m in self._med], i32, ())
         m_c = arr([m[1] for m in self._med], f32, (3,))
@@ -413,6 +444,7 @@ class SceneBuilder:
             atlas=j(atlas), perlin_vec=j(pv), perlin_perm=j(perm),
             merl=j(merl), light_kind=j(lk), light_index=j(li),
             **cluster_kw,
+            **med_tri_kw,
         )
 
 

@@ -140,11 +140,13 @@ class Scene(NamedTuple):
 
     # --- homogeneous participating media (M) -----------------------------
     # constant_medium.h:19-50: exponential free-flight between the two
-    # boundary crossings. The reference accepts any hitable boundary; the
-    # active scenes use spheres, and boxes cover the remaining convex case
-    # (a non-convex boundary under the reference's two-crossing logic is
-    # already wrong there — see constant_medium.h:23-27).
-    med_kind: jnp.ndarray      # (M,) int32: 0 = sphere, 1 = box
+    # boundary crossings. The reference accepts any hitable boundary
+    # (meshes via the triangle is_medium two-sided path, triangle.h:108-115);
+    # here: analytic sphere/box + MESH boundaries whose triangles live in
+    # the med_tri_* tables below. Non-convex boundaries under the
+    # reference's two-crossing logic are already wrong there
+    # (constant_medium.h:23-27); convex boundaries are exact.
+    med_kind: jnp.ndarray      # (M,) int32: 0 = sphere, 1 = box, 2 = mesh
     med_center: jnp.ndarray    # (M, 3) sphere center / box center
     med_radius: jnp.ndarray    # (M,) sphere radius (0 for boxes)
     med_half: jnp.ndarray      # (M, 3) box half-extents (0 for spheres)
@@ -193,6 +195,12 @@ class Scene(NamedTuple):
     cl_nodes_f: jnp.ndarray | None = None    # (Nc, 6, NODE_CAP/128, 128)
     cl_nodes_i: jnp.ndarray | None = None    # (Nc, 3, NODE_CAP/128, 128)
     cl_tris: jnp.ndarray | None = None       # (Nc, 9, TRI_CAP/128, 128)
+
+    # --- mesh-medium boundary triangles (K entries; None when unused) ----
+    med_tri_p0: jnp.ndarray | None = None    # (K, 3)
+    med_tri_p1: jnp.ndarray | None = None    # (K, 3)
+    med_tri_p2: jnp.ndarray | None = None    # (K, 3)
+    med_tri_mid: jnp.ndarray | None = None   # (K,) int32 medium id
 
     @property
     def n_spheres(self) -> int:

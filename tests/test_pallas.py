@@ -108,3 +108,61 @@ def test_pallas_big_gating():
     assert pallas_big_available(scene, interpret=True)
     assert not pallas_big_available(scene._replace(cl_tris=None),
                                     interpret=True)
+
+
+def test_pallas_sphere_sweep_matches_xla():
+    """Fused sphere kernel (interpret) vs the XLA chunk sweep: static,
+    moving, env, and flipped spheres in one scene."""
+    from srt_tpu.core.ray import Ray as R2
+    from srt_tpu.render.intersect import (intersect_spheres,
+                                          intersect_spheres_via_pallas)
+
+    rng = np.random.default_rng(11)
+    b = SceneBuilder()
+    m = b.lambertian(b.constant((0.5, 0.5, 0.5)))
+    for i in range(20):
+        c = rng.uniform(-4, 4, 3)
+        if i % 4 == 0:  # moving
+            b.sphere(c, 0.5, m, center1=c + rng.uniform(-1, 1, 3))
+        elif i % 4 == 1:  # flipped
+            b.sphere(c, 0.5, m, flip=True)
+        else:
+            b.sphere(c, 0.5, m)
+    b.sphere((0, 0, 0), 50.0, b.diffuse_light(b.constant((1, 1, 1))),
+             env=True)
+    scene = b.build()
+
+    n = 1500
+    o = rng.standard_normal((n, 3)).astype(np.float32) * 2
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = R2(origin=o, direction=d,
+             time=rng.uniform(0, 1, n).astype(np.float32))
+
+    hx = intersect_spheres(scene, ray, 1e-3, 3e38)
+    hp = intersect_spheres_via_pallas(scene, ray, 1e-3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hx.hit), np.asarray(hp.hit))
+    both = np.asarray(hx.hit)
+    np.testing.assert_allclose(np.asarray(hx.t)[both],
+                               np.asarray(hp.t)[both], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(hx.mat)[both],
+                                  np.asarray(hp.mat)[both])
+    np.testing.assert_allclose(np.asarray(hx.normal)[both],
+                               np.asarray(hp.normal)[both],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(hx.uv)[both],
+                               np.asarray(hp.uv)[both], rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_sphere_render_matches(monkeypatch):
+    """End-to-end ball_scenes-style render with the sphere kernel on."""
+    from srt_tpu import RenderConfig, render
+    from srt_tpu.scene.library import ball_scenes
+
+    scene, cam, _ = ball_scenes(aspect=1.0, max_tex=16)
+    cfg = RenderConfig(width=12, height=12, spp=2, max_depth=3)
+    ref = np.asarray(render(scene, cam, cfg))
+    monkeypatch.setenv("SRT_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("SRT_TPU_SPHERE_KERNEL", "1")  # opt-in experiment
+    img = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(ref, img, rtol=2e-4, atol=2e-4)

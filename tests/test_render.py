@@ -187,3 +187,49 @@ def test_dome_light_in_nee_list():
     img = np.asarray(render(scene, cam, cfg))
     center = img[8:16, 8:16].mean()
     assert abs(center - albedo) / albedo < 0.04, center
+
+
+def test_medium_mesh_matches_box():
+    """Mesh-bounded constant medium (the reference's constant_medium over
+    any hitable, triangle.h:108-115 two-sided path): a box tessellated
+    into 12 triangles must attenuate identically to the analytic box
+    medium (same crossings => same RNG stream => near-identical images),
+    including camera rays that START inside the volume."""
+    p0, p1 = np.array([-4, -4, -14.0]), np.array([4, 4, -6.0])
+
+    def box_tris(lo, hi):
+        x0, y0, z0 = lo
+        x1, y1, z1 = hi
+        c = np.array([[x0, y0, z0], [x1, y0, z0], [x0, y1, z0],
+                      [x1, y1, z0], [x0, y0, z1], [x1, y0, z1],
+                      [x0, y1, z1], [x1, y1, z1]], np.float32)
+        quads = np.array([[0, 2, 3, 1], [4, 5, 7, 6], [0, 1, 5, 4],
+                          [2, 6, 7, 3], [0, 4, 6, 2], [1, 3, 7, 5]])
+        f = np.concatenate([quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]])
+        return c[f]
+
+    def build(kind, lo=p0, hi=p1):
+        b = SceneBuilder()
+        lid = b.xy_rect(-5, 5, -5, 5, -20,
+                        b.diffuse_light(b.constant((4, 4, 4))))
+        if kind == "box":
+            b.medium_box(lo, hi, 0.5, b.constant((0.2, 0.2, 0.2)))
+        elif kind == "mesh":
+            b.medium_mesh(box_tris(lo, hi), 0.5, b.constant((0.2, 0.2, 0.2)))
+        b.light_rect(lid)
+        return b.build()
+
+    cam = Camera.look_at(lookfrom=(0, 0, 0), lookat=(0, 0, -1), vfov=40.0,
+                         aspect=1.0)
+    cfg = RenderConfig(width=16, height=16, spp=32, max_depth=6,
+                       sample_chunk=32)
+    box_img = np.asarray(render(build("box"), cam, cfg))
+    mesh_img = np.asarray(render(build("mesh"), cam, cfg))
+    np.testing.assert_allclose(mesh_img, box_img, rtol=1e-3, atol=1e-3)
+
+    # Camera inside the volume: entry clamps to 0 (constant_medium.h:23).
+    cam_in = Camera.look_at(lookfrom=(0, 0, -10), lookat=(0, 0, -20),
+                            vfov=40.0, aspect=1.0)
+    bi = np.asarray(render(build("box"), cam_in, cfg))
+    mi = np.asarray(render(build("mesh"), cam_in, cfg))
+    np.testing.assert_allclose(mi, bi, rtol=1e-3, atol=1e-3)
