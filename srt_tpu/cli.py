@@ -48,6 +48,15 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="SPP", help="spp between checkpoints")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render to DIR")
+    ap.add_argument("--ref-parity", action="store_true",
+                    help="reproduce the reference's as-implemented "
+                         "estimator (GOLDEN.md) instead of the "
+                         "physically-correct one")
+    ap.add_argument("--wavefront", type=int, default=1 << 16,
+                    help="regen engine persistent-wavefront lanes")
+    ap.add_argument("--pdf-floor", type=float, default=1e-9,
+                    help="mixture-pdf cutoff (1e-4 suppresses fireflies)")
+    ap.add_argument("--no-compile-cache", action="store_true")
     return ap
 
 
@@ -76,9 +85,16 @@ def main(argv=None) -> int:
     for w in caught:
         print(f"warning: {w.message}", file=sys.stderr)
 
+    if not args.no_compile_cache:
+        from srt_tpu.utils.cache import enable as enable_cache
+        enable_cache()
+
     config = RenderConfig(width=args.width, height=height, spp=args.spp,
                           max_depth=args.max_depth, rr_start=args.rr_start,
-                          seed=args.seed, sample_chunk=args.sample_chunk)
+                          seed=args.seed, sample_chunk=args.sample_chunk,
+                          ref_parity=args.ref_parity,
+                          wavefront=args.wavefront,
+                          pdf_floor=args.pdf_floor)
 
     import contextlib
 

@@ -54,8 +54,6 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     zeros3 = jnp.zeros((m, 3), jnp.float32)
     state = dict(
         cursor=jnp.int32(0),
-        out=jnp.zeros((n, 3), jnp.float32),
-        started=jnp.zeros((n,), jnp.float32),
         rid=jnp.zeros((m,), jnp.int32),
         o=zeros3, d=zeros3.at[:, 2].set(1.0),
         time=jnp.zeros((m,), jnp.float32),
@@ -75,8 +73,6 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
         rid = jnp.where(take, src, st["rid"])
         st = dict(
             cursor=st["cursor"] + jnp.sum(take.astype(jnp.int32)),
-            out=st["out"],
-            started=st["started"].at[src].add(take.astype(jnp.float32)),
             rid=rid,
             o=where3(take, rays.origin[src], st["o"]),
             d=where3(take, rays.direction[src], st["d"]),
@@ -88,6 +84,7 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
             salt=jnp.where(take, salts[src], st["salt"]),
             depth=jnp.where(take, 0, st["depth"]),
         )
+        started_ids = jnp.where(take, src, n)  # n = no-op slot
 
         # --- one bounce ---------------------------------------------------
         was_alive = st["alive"]
@@ -98,25 +95,34 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
             max_depth, rr_start, flags, pdf_floor)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
-        # --- flush finished paths ----------------------------------------
+        # --- emit finished paths as stacked scan outputs -----------------
+        # (NOT via a (N,3) accumulator in the carry: the carry is saved per
+        # step for the backward pass, which at 256^2-scale queues overflows
+        # HBM; stacked (steps, m, 3) outputs are small and scatter once.)
         finished = was_alive & ~alive
         contrib = jnp.where(finished[:, None], nxt["radiance"], 0.0)
         contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
-        out = st["out"].at[st["rid"]].add(contrib)
 
-        return dict(cursor=st["cursor"], out=out, started=st["started"],
-                    rid=st["rid"], o=nxt["o"], d=nxt["d"], time=nxt["time"],
-                    beta=nxt["beta"], radiance=nxt["radiance"], alive=alive,
-                    salt=nxt["salt"], depth=nxt["depth"]), None
+        new_st = dict(cursor=st["cursor"], rid=st["rid"], o=nxt["o"],
+                      d=nxt["d"], time=nxt["time"], beta=nxt["beta"],
+                      radiance=nxt["radiance"], alive=alive,
+                      salt=nxt["salt"], depth=nxt["depth"])
+        return new_st, (st["rid"], contrib, started_ids)
 
     body = jax.checkpoint(step) if checkpoint else step
-    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    state, (rids, contribs, started_ids) = jax.lax.scan(
+        body, state, None, length=n_steps)
 
     # Budget-exhausted lanes: flush their truncated partial radiance.
-    contrib = jnp.where(state["alive"][:, None], state["radiance"], 0.0)
-    contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
-    out = state["out"].at[state["rid"]].add(contrib)
-    return out, state["started"]
+    tail = jnp.where(state["alive"][:, None], state["radiance"], 0.0)
+    tail = jnp.where(jnp.isnan(tail), 0.0, tail)
+
+    out = jnp.zeros((n, 3), jnp.float32)
+    out = out.at[rids.reshape(-1)].add(contribs.reshape(-1, 3))
+    out = out.at[state["rid"]].add(tail)
+    started = jnp.zeros((n + 1,), jnp.float32)
+    started = started.at[started_ids.reshape(-1)].add(1.0)[:n]
+    return out, started
 
 
 def steps_for(n_rays: int, wavefront: int, depth_budget: float,

@@ -159,6 +159,77 @@ def random_scene(aspect: float = 1.0, max_tex: int | None = None,
     return b.build(), cam, info
 
 
+def _rtiow_cam(aspect: float) -> Camera:
+    """The RTiOW-era camera these dead fixtures were written for."""
+    return Camera.look_at((13.0, 2.0, 3.0), (0.0, 0.0, 0.0), vfov=20.0,
+                          aspect=aspect, aperture=0.0, focus_dist=10.0)
+
+
+@_register
+def two_spheres(aspect: float = 1.0, ambient: float = 1.0, **_kw):
+    """Dead reference fixture ``two_spheres`` (``Raytracing_n.cpp:178-187``):
+    two giant checker spheres. The source builds no camera/lights for it
+    (unreachable from ``main``); we add the canonical RTiOW camera and,
+    since this renderer has no sky-gradient background, a dim white dome
+    (``ambient=0`` disables) so the fixture actually renders."""
+    b = SceneBuilder()
+    checker = b.lambertian(b.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9)))
+    b.sphere((0, -10, 0), 10.0, checker)
+    b.sphere((0, 10, 0), 10.0, checker)
+    if ambient > 0:
+        dome = b.sphere((0, 0, 0), 1000.0,
+                        b.diffuse_light(b.constant((ambient,) * 3)), env=True)
+        b.light_sphere(dome)
+    return b.build(), _rtiow_cam(aspect), {"lights": 1 if ambient > 0 else 0}
+
+
+@_register
+def two_perlin_spheres(aspect: float = 1.0, ambient: float = 1.0, **_kw):
+    """Dead reference fixture (``Raytracing_n.cpp:188-195``): marble-noise
+    ground + sphere (scale 1). Camera/dome as :func:`two_spheres`."""
+    b = SceneBuilder()
+    per = b.lambertian(b.noise(1.0))
+    b.sphere((0, -1000, 0), 1000.0, per)
+    b.sphere((0, 2, 0), 2.0, per)
+    if ambient > 0:
+        dome = b.sphere((0, 0, 0), 5000.0,
+                        b.diffuse_light(b.constant((ambient,) * 3)), env=True)
+        b.light_sphere(dome)
+    return b.build(), _rtiow_cam(aspect), {"lights": 1 if ambient > 0 else 0}
+
+
+@_register
+def earth_sphere(aspect: float = 1.0, max_tex: int | None = None, **_kw):
+    """Dead reference fixture ``earth_shpere`` [sic]
+    (``Raytracing_n.cpp:196-205``): an *emissive* earthmap sphere over a
+    white ground."""
+    b = SceneBuilder()
+    if find_asset("textures/earthmap.jpg") is None:
+        pass  # fallback color below
+    earth = b.image(_maybe_downsample(load_image_asset(
+        "textures/earthmap.jpg", (0.2, 0.4, 0.8)), max_tex))
+    b.sphere((0, -1000, 0), 1000.0,
+             b.lambertian(b.constant((0.9, 0.9, 0.9))))
+    sid = b.sphere((0, 2, 0), 2.0, b.diffuse_light(earth))
+    b.light_sphere(sid)
+    return b.build(), _rtiow_cam(aspect), {"lights": 1}
+
+
+@_register
+def simple_light(aspect: float = 1.0, **_kw):
+    """Dead reference fixture (``Raytracing_n.cpp:206-215``): marble
+    ground + sphere lit by a small xy_rect emitter."""
+    b = SceneBuilder()
+    per = b.lambertian(b.noise(4.0))
+    b.sphere((0, -1000, 0), 1000.0, per)
+    b.sphere((0, 2, 0), 2.0, per)
+    lid = b.xy_rect(3, 5, 1, 3, -2, b.diffuse_light(b.constant((4, 4, 4))))
+    b.light_rect(lid)
+    cam = Camera.look_at((26.0, 4.0, 6.0), (0.0, 2.0, 0.0), vfov=20.0,
+                         aspect=aspect, aperture=0.0, focus_dist=10.0)
+    return b.build(), cam, {"lights": 1}
+
+
 @_register
 def cornell_boxes(aspect: float = 1.0, **_kw):
     """Self-contained classic Cornell box (green/red walls, two boxes).
