@@ -86,20 +86,13 @@ def _sphere_uv(unit_p):
     return jnp.stack([u, v], axis=-1)
 
 
-def intersect_spheres_via_pallas(scene: Scene, ray: Ray, t_min,
-                                 interpret: bool) -> Hit:
-    """Hit assembly around the fused Pallas sphere sweep.
+def _assemble_sphere_hit(scene: Scene, ray: Ray, t_min, k) -> Hit:
+    """Differentiable Hit for winner sphere ``k`` (-1 = miss).
 
-    The kernel returns the discrete winner (detached, like argmin); ``t``
-    is re-derived differentiably here for that one sphere, so geometry
-    gradients (center/radius, e.g. an optimized light sphere) match the
-    XLA path.
+    The discrete winner is detached (like argmin); t/normal/uv are
+    re-derived here so geometry gradients (center/radius, e.g. an
+    optimized light sphere) flow exactly as on the brute-force path.
     """
-    from srt_tpu.pallas.spheres import sphere_winner_pallas
-
-    _, k = jax.tree.map(jax.lax.stop_gradient,
-                        sphere_winner_pallas(scene, ray, t_min,
-                                             interpret=interpret))
     hit_any = k >= 0
     kc = jnp.maximum(k, 0)
 
@@ -120,9 +113,11 @@ def intersect_spheres_via_pallas(scene: Scene, ray: Ray, t_min,
     valid0 = (disc > 0.0) & (t0 > t_min)
     t = jnp.where(valid0, t0, t1)
     env = scene.sph_env[kc]
+    # env_sphere always-hit at the far crossing when in front
+    # (env_sphere.h:27-38); guard t_min for both variants.
     t = jnp.where(env, t1, t)
 
-    hit = hit_any
+    hit = hit_any & (t > t_min)
     tb = jnp.where(hit, t, _BIG)
     p = ray.at(jnp.minimum(tb, _T_POS_MAX))
     unit = (p - cen) / rad[:, None]
@@ -130,6 +125,107 @@ def intersect_spheres_via_pallas(scene: Scene, ray: Ray, t_min,
     normal = jnp.where(flip[:, None], -unit, unit)
     return Hit(t=tb, hit=hit, p=p, normal=normal, uv=_sphere_uv(unit),
                mat=scene.sph_mat[kc])
+
+
+def intersect_spheres_via_pallas(scene: Scene, ray: Ray, t_min,
+                                 interpret: bool) -> Hit:
+    """Hit assembly around the fused Pallas sphere sweep (opt-in)."""
+    from srt_tpu.pallas.spheres import sphere_winner_pallas
+
+    _, k = jax.tree.map(jax.lax.stop_gradient,
+                        sphere_winner_pallas(scene, ray, t_min,
+                                             interpret=interpret))
+    return _assemble_sphere_hit(scene, ray, t_min, k)
+
+
+def intersect_spheres_bvh(scene: Scene, ray: Ray, t_min, t_max,
+                          leaf_size: int = 4) -> Hit:
+    """Closest sphere hit via the skip-link sphere BVH (``sbvh_*``).
+
+    Same traversal shape as :func:`intersect_tris`; leaves gather original
+    sphere ids through ``sbvh_ids``, so no scene table is reordered. The
+    winner search runs detached (a data-dependent ``while_loop`` has no
+    reverse rule); :func:`_assemble_sphere_hit` re-derives the hit
+    differentiably. Env spheres (always-hit, excluded from the tree) are
+    swept separately via ``sph_env_ids``.
+
+    Tie-breaking note: overlapping spheres at *exactly* equal t may pick a
+    different winner than the brute-force sweep's lowest-index rule.
+    """
+    n = ray.origin.shape[0]
+    n_nodes = scene.sbvh_skip.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(ray.direction) < 1e-20, 1e-20,
+                            ray.direction)
+
+    def winner(scene, ray):
+        def cond(state):
+            cursor, _, _ = state
+            return jnp.any(cursor < n_nodes)
+
+        def body(state):
+            cursor, t_best, k_best = state
+            cur = jnp.minimum(cursor, n_nodes - 1)
+            lo = scene.sbvh_lo[cur]
+            hi = scene.sbvh_hi[cur]
+            first = scene.sbvh_first[cur]
+            count = scene.sbvh_count[cur]
+            skip = scene.sbvh_skip[cur]
+
+            tt0 = (lo - ray.origin) * inv_d
+            tt1 = (hi - ray.origin) * inv_d
+            tn = jnp.max(jnp.minimum(tt0, tt1), axis=-1)
+            tf = jnp.min(jnp.maximum(tt0, tt1), axis=-1)
+            box_hit = (tf >= jnp.maximum(tn, t_min)) & (tn < t_best)
+
+            is_leaf = first >= 0
+            active = cursor < n_nodes
+
+            for j in range(leaf_size):
+                slot = jnp.clip(first + j, 0, scene.sbvh_ids.shape[0] - 1)
+                sid = scene.sbvh_ids[slot]
+                lane = active & is_leaf & box_hit & (j < count)
+                # single-sphere test (math of _sphere_chunk)
+                times = scene.sph_times[sid]
+                f = (ray.time - times[:, 0]) / jnp.maximum(
+                    times[:, 1] - times[:, 0], 1e-20)
+                cen = (scene.sph_center0[sid]
+                       + f[:, None] * (scene.sph_center1[sid]
+                                       - scene.sph_center0[sid]))
+                oc = ray.origin - cen
+                b = jnp.sum(oc * ray.direction, axis=-1)
+                c = jnp.sum(oc * oc, axis=-1) - scene.sph_radius[sid] ** 2
+                disc = b * b - c
+                sq = safe_sqrt(disc)
+                s0 = -b - sq
+                s1 = -b + sq
+                ok = disc > 0.0
+                v0 = ok & (s0 > t_min) & (s0 < t_max)
+                v1 = ok & (s1 > t_min) & (s1 < t_max)
+                t = jnp.where(v0, s0, jnp.where(v1, s1, _BIG))
+                better = lane & (t < t_best)
+                t_best = jnp.where(better, t, t_best)
+                k_best = jnp.where(better, sid, k_best)
+
+            descend = active & box_hit & (~is_leaf)
+            nxt = jnp.where(descend, cursor + 1, skip)
+            cursor = jnp.where(active, nxt, cursor)
+            return cursor, t_best, k_best
+
+        init = (np.zeros((n,), np.int32), np.full((n,), _BIG, np.float32),
+                np.full((n,), -1, np.int32))
+        _, _, k_best = jax.lax.while_loop(cond, body, init)
+        return k_best
+
+    k = jax.lax.stop_gradient(winner(scene, ray))
+    best = _assemble_sphere_hit(scene, ray, t_min, k)
+
+    # env spheres (few; static count) — brute, differentiable.
+    n_env = int(scene.sph_env_ids.shape[0])
+    for e in range(n_env):
+        sid = scene.sph_env_ids[e]
+        k_env = jnp.full((n,), sid, jnp.int32)
+        best = best.closer_of(_assemble_sphere_hit(scene, ray, t_min, k_env))
+    return best
 
 
 def intersect_spheres(scene: Scene, ray: Ray, t_min, t_max) -> Hit:
@@ -396,10 +492,17 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
     best = Hit.none(n)
     if scene.n_spheres:
         from srt_tpu.pallas.spheres import pallas_spheres_available
+        import os as _os
+        use_sbvh = (scene.sbvh_ids is not None
+                    and _os.environ.get("SRT_TPU_SPHERE_BVH", "on") != "off")
         if mode != "off" and pallas_spheres_available(scene,
                                                      interpret=interp):
             best = best.closer_of(
                 intersect_spheres_via_pallas(scene, ray, t_min, interp))
+        elif use_sbvh:
+            best = best.closer_of(
+                intersect_spheres_bvh(scene, ray, t_min, t_max,
+                                      leaf_size=leaf))
         else:
             best = best.closer_of(intersect_spheres(scene, ray, t_min,
                                                     t_max))

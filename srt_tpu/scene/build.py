@@ -40,6 +40,7 @@ class SceneBuilder:
 
     bvh_leaf_size: int = 4
     perlin_seed: int = 7
+    sphere_bvh_min: int = 64   # build a sphere BVH at/above this count
 
     # textures
     _tex_type: list = field(default_factory=list)
@@ -384,6 +385,35 @@ class SceneBuilder:
                 cl_nodes_i=jnp.asarray(cl.cl_nodes_i),
                 cl_tris=jnp.asarray(cl.cl_tris))
 
+        # sphere BVH (skip-link over non-env sphere AABBs): reuses the
+        # triangle builder by feeding one synthetic triangle per sphere
+        # whose AABB/centroid equal the sphere's motion-union bounds
+        # (p0 = lo, p1 = hi, p2 = midpoint).
+        sbvh_kw: dict = {}
+        if len(self._sph) >= self.sphere_bvh_min:
+            c0s = np.stack([s[0] for s in self._sph])
+            c1s = np.stack([s[1] for s in self._sph])
+            rs = np.asarray([s[3] for s in self._sph], f32)[:, None]
+            envs = np.asarray([s[6] for s in self._sph], bool)
+            lo = np.minimum(c0s, c1s) - rs
+            hi = np.maximum(c0s, c1s) + rs
+            ids = np.nonzero(~envs)[0].astype(np.int64)
+            if len(ids) >= self.sphere_bvh_min:
+                synth = np.stack(
+                    [lo[ids], hi[ids], 0.5 * (lo[ids] + hi[ids])],
+                    axis=1).astype(f32)
+                sbvh, sorder = build_bvh(synth,
+                                         leaf_size=self.bvh_leaf_size)
+                sbvh_kw = dict(
+                    sbvh_lo=jnp.asarray(sbvh.lo),
+                    sbvh_hi=jnp.asarray(sbvh.hi),
+                    sbvh_skip=jnp.asarray(sbvh.skip),
+                    sbvh_first=jnp.asarray(sbvh.first),
+                    sbvh_count=jnp.asarray(sbvh.count),
+                    sbvh_ids=jnp.asarray(ids[sorder].astype(np.int32)),
+                    sph_env_ids=jnp.asarray(
+                        np.nonzero(envs)[0].astype(np.int32)))
+
         # mesh-medium boundary triangles
         med_tri_kw: dict = {}
         if self._med_tris:
@@ -445,6 +475,7 @@ class SceneBuilder:
             merl=j(merl), light_kind=j(lk), light_index=j(li),
             **cluster_kw,
             **med_tri_kw,
+            **sbvh_kw,
         )
 
 

@@ -202,6 +202,19 @@ class Scene(NamedTuple):
     med_tri_p2: jnp.ndarray | None = None    # (K, 3)
     med_tri_mid: jnp.ndarray | None = None   # (K,) int32 medium id
 
+    # --- sphere BVH (built when the scene has many spheres; None else) ---
+    # Skip-link layout like the triangle BVH; leaves reference original
+    # sphere ids through ``sbvh_ids`` (no sphere reordering, so light /
+    # medium indices stay valid). Env spheres (always-hit) are excluded
+    # and swept brute-force via ``sph_env_ids``.
+    sbvh_lo: jnp.ndarray | None = None       # (Bs, 3)
+    sbvh_hi: jnp.ndarray | None = None       # (Bs, 3)
+    sbvh_skip: jnp.ndarray | None = None     # (Bs,) i32
+    sbvh_first: jnp.ndarray | None = None    # (Bs,) i32 (into sbvh_ids)
+    sbvh_count: jnp.ndarray | None = None    # (Bs,) i32
+    sbvh_ids: jnp.ndarray | None = None      # (Sn,) i32 original sphere id
+    sph_env_ids: jnp.ndarray | None = None   # (Se,) i32 env sphere ids
+
     @property
     def n_spheres(self) -> int:
         return self.sph_radius.shape[0]

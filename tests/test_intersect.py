@@ -136,3 +136,48 @@ def test_camera_center_ray():
     r = cam.rays(jnp.asarray([1.0]), jnp.asarray([1.0]), z, z, z)
     assert np.allclose(np.asarray(r.direction),
                        np.array([[1, 1, -1]]) / np.sqrt(3), atol=1e-4)
+
+
+def test_sphere_bvh_matches_brute_force():
+    """Sphere-BVH traversal (sbvh_*, built at >=64 spheres) vs the brute
+    chunk sweep: static, moving, flipped, env spheres."""
+    import numpy as np
+
+    from srt_tpu.render.intersect import (intersect_spheres,
+                                          intersect_spheres_bvh)
+    from srt_tpu.scene.build import SceneBuilder
+
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    m = b.lambertian(b.constant((0.5, 0.5, 0.5)))
+    for i in range(80):
+        c = rng.uniform(-8, 8, 3)
+        if i % 5 == 0:
+            b.sphere(c, 0.4, m, center1=c + rng.uniform(-1, 1, 3))
+        elif i % 5 == 1:
+            b.sphere(c, 0.4, m, flip=True)
+        else:
+            b.sphere(c, 0.4, m)
+    b.sphere((0, 0, 0), 100.0, b.diffuse_light(b.constant((1, 1, 1))),
+             env=True)
+    scene = b.build()
+    assert scene.sbvh_ids is not None
+
+    n = 2000
+    o = rng.standard_normal((n, 3)).astype(np.float32) * 4
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ray = Ray(origin=o, direction=d,
+              time=rng.uniform(0, 1, n).astype(np.float32))
+
+    hb = intersect_spheres(scene, ray, 1e-3, 3e38)
+    hv = intersect_spheres_bvh(scene, ray, 1e-3, 3e38)
+    np.testing.assert_array_equal(np.asarray(hb.hit), np.asarray(hv.hit))
+    both = np.asarray(hb.hit)
+    np.testing.assert_allclose(np.asarray(hb.t)[both],
+                               np.asarray(hv.t)[both], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(hb.mat)[both],
+                                  np.asarray(hv.mat)[both])
+    np.testing.assert_allclose(np.asarray(hb.normal)[both],
+                               np.asarray(hv.normal)[both],
+                               rtol=2e-4, atol=2e-4)
