@@ -493,8 +493,14 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
     if scene.n_spheres:
         from srt_tpu.pallas.spheres import pallas_spheres_available
         import os as _os
+        # Default OFF: measured 27x SLOWER than the brute sweep on the TPU
+        # (random_scene 12k vs 334k rays/s) — the lockstep while_loop runs
+        # at the pace of the wavefront's slowest ray, and XLA's fused
+        # (rays x spheres) brute sweep wins up to at least ~1k spheres.
+        # A tile-cursor Pallas variant (like the triangle kernel) is the
+        # round-4 fix; the traversal + tests stay for that.
         use_sbvh = (scene.sbvh_ids is not None
-                    and _os.environ.get("SRT_TPU_SPHERE_BVH", "on") != "off")
+                    and _os.environ.get("SRT_TPU_SPHERE_BVH") == "on")
         if mode != "off" and pallas_spheres_available(scene,
                                                      interpret=interp):
             best = best.closer_of(
