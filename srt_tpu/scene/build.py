@@ -41,6 +41,11 @@ class SceneBuilder:
     bvh_leaf_size: int = 4
     perlin_seed: int = 7
     sphere_bvh_min: int = 64   # build a sphere BVH at/above this count
+    # Two-level BVH cluster caps (accel/cluster.py). Bigger clusters
+    # shrink the VMEM-resident top tree (fewer scalar-cursor iterations
+    # per tile) at the cost of larger DMA blocks + more masked leaf work.
+    cluster_node_cap: int = 2048
+    cluster_tri_cap: int = 4096
 
     # textures
     _tex_type: list = field(default_factory=list)
@@ -374,8 +379,14 @@ class SceneBuilder:
         # kernel; skipped for tri-free scenes.
         cluster_kw: dict = {}
         if len(p):
+            import os
             from srt_tpu.accel.cluster import build_clusters
-            cl = build_clusters(bvh, p[:, 0], p[:, 1], p[:, 2])
+            cl = build_clusters(
+                bvh, p[:, 0], p[:, 1], p[:, 2],
+                node_cap=int(os.environ.get("SRT_TPU_CLUSTER_NODE_CAP",
+                                            self.cluster_node_cap)),
+                tri_cap=int(os.environ.get("SRT_TPU_CLUSTER_TRI_CAP",
+                                           self.cluster_tri_cap)))
             cluster_kw = dict(
                 top_lo=jnp.asarray(cl.top_lo), top_hi=jnp.asarray(cl.top_hi),
                 top_skip=jnp.asarray(cl.top_skip),

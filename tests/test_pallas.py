@@ -81,8 +81,11 @@ def test_pallas_gating():
 
 
 @pytest.mark.parametrize("n_tris,n_rays", [(1500, 2000)])
-def test_pallas_big_matches_xla_traversal(n_tris, n_rays):
+def test_pallas_big_matches_xla_traversal(n_tris, n_rays, monkeypatch):
     """Two-level DMA kernel (interpret mode) vs the XLA lockstep loop."""
+    # small caps so this mesh splits into several clusters
+    monkeypatch.setenv("SRT_TPU_CLUSTER_NODE_CAP", "128")
+    monkeypatch.setenv("SRT_TPU_CLUSTER_TRI_CAP", "256")
     scene, rng = _soup_scene(n_tris, seed=3)
     assert scene.cl_tris is not None and scene.cl_tris.shape[0] >= 2, \
         "mesh too small to exercise multiple clusters"
