@@ -233,3 +233,34 @@ def test_medium_mesh_matches_box():
     bi = np.asarray(render(build("box"), cam_in, cfg))
     mi = np.asarray(render(build("mesh"), cam_in, cfg))
     np.testing.assert_allclose(mi, bi, rtol=1e-3, atol=1e-3)
+
+
+def test_ref_parity_render_end_to_end():
+    """ref_parity mode end-to-end: a diffuse floor under a bright dome
+    with a weak rect light renders much darker under parity (diffuse
+    surfaces become light-sampling-only, GOLDEN.md) — locking the
+    round-3 golden-parity behavior against regressions."""
+    b = SceneBuilder()
+    ground = b.oren_nayar(b.constant((0.6, 0.6, 0.6)), 0.5)
+    b.xz_rect(-50, 50, -50, 50, 0, ground)
+    dome = b.sphere((0, 0, 0), 500.0,
+                    b.diffuse_light(b.constant((1.0, 1.0, 1.0))), env=True)
+    lid = b.xz_rect(-2, 2, -2, 2, 30,
+                    b.diffuse_light(b.constant((0.5, 0.5, 0.5))), flip=True)
+    b.light_rect(lid)  # the only NEE light; the dome is NOT in hlist
+    scene = b.build()
+    cam = Camera.look_at(lookfrom=(0, 8, -20), lookat=(0, 0, 0), vfov=40.0,
+                         aspect=1.0)
+    base = RenderConfig(width=24, height=24, spp=32, max_depth=5,
+                        sample_chunk=32)
+    std = np.asarray(render(scene, cam, base))
+    par = np.asarray(render(scene, cam,
+                            RenderConfig(**{**base.__dict__,
+                                            "ref_parity": True})))
+    # Floor rows (bottom half of the frame view the ground).
+    floor_std = std[16:].mean()
+    floor_par = par[16:].mean()
+    assert np.isfinite(par).all()
+    # Standard: floor sees the whole dome (~0.6). Parity: only the weak
+    # rect light through NEE cones -> several times darker.
+    assert floor_par < 0.5 * floor_std, (floor_par, floor_std)
