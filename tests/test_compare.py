@@ -32,3 +32,30 @@ def test_golden_psnr_downsampling_suppresses_noise():
     gold = np.clip(base * 255.99, 0, 255).astype(np.uint8)
     r = golden_psnr(ours01, gold, downsample=4)
     assert r["psnr_ds_db"] > r["psnr_db"] + 8.0
+
+
+def test_bench_smoke():
+    """bench.py end-to-end on CPU at a tiny config: must print exactly one
+    valid JSON line with the headline fields (the driver's BENCH artifact
+    depends on this surface)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "SRT_TPU_NO_COMPILE_CACHE": "1"}
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--scene", "cornell_boxes",
+         "--width", "16", "--spp", "2", "--max-depth", "3",
+         "--min-seconds", "0.1", "--sample-chunk", "2"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=root)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, lines
+    d = json.loads(lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline", "engine",
+                "warmup_s", "nan_pixels"):
+        assert key in d, key
+    assert d["value"] > 0 and d["nan_pixels"] == 0
