@@ -34,7 +34,7 @@ _DIM_MIX = 12         # light-vs-bsdf pick
 _DIM_LIGHT_PICK = 13
 _DIM_SAMPLE = 14      # u1, u2 for light point / bsdf lobe
 _DIM_RR = 16          # russian roulette
-_DIM_RETRY = 17       # parity-mode resample rounds (3 dims each)
+_DIM_RETRY = 17       # parity-mode resample rounds (4 dims each: mix, pick, u1, u2)
 _PARITY_RETRIES = 4
 
 
@@ -254,8 +254,8 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         # re-draw branch + sample for still-zero lanes (residual
         # probability of all rounds failing is ~(p_fail)^K, negligible).
         for rnd in range(_PARITY_RETRIES):
-            wi2, pdf2 = draw(_DIM_RETRY + 3 * rnd, _DIM_RETRY + 3 * rnd + 1,
-                             _DIM_RETRY + 3 * rnd + 2)
+            wi2, pdf2 = draw(_DIM_RETRY + 4 * rnd, _DIM_RETRY + 4 * rnd + 1,
+                             _DIM_RETRY + 4 * rnd + 2)
             need = pdf <= 0.0
             wi = where3(need, wi2, wi)
             pdf = jnp.where(need, pdf2, pdf)

@@ -506,9 +506,13 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
             best = best.closer_of(
                 intersect_spheres_via_pallas(scene, ray, t_min, interp))
         elif use_sbvh:
+            # NOTE: the sphere BVH has its own leaf width (built with
+            # leaf_size=4) — do not reuse the triangle bvh_leaf, which a
+            # tiny mesh can shrink below 4 and silently drop sphere hits.
+            sleaf = flags.sbvh_leaf if flags is not None else 4
             best = best.closer_of(
                 intersect_spheres_bvh(scene, ray, t_min, t_max,
-                                      leaf_size=leaf))
+                                      leaf_size=sleaf))
         else:
             best = best.closer_of(intersect_spheres(scene, ray, t_min,
                                                     t_max))

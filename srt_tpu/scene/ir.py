@@ -66,7 +66,8 @@ class SceneFlags(NamedTuple):
     """
     tex_kinds: tuple
     mat_kinds: tuple
-    bvh_leaf: int = 4   # widest BVH leaf (static loop bound in traversal)
+    bvh_leaf: int = 4   # widest triangle-BVH leaf (static traversal bound)
+    sbvh_leaf: int = 4  # widest sphere-BVH leaf (independent of bvh_leaf)
     # Reproduce the reference's *as-implemented* estimator instead of the
     # physically-correct one (for golden-image comparison against its
     # checked-in renders). Concretely (see materials.bsdf_weight/bsdf_pdf):
@@ -85,11 +86,14 @@ class SceneFlags(NamedTuple):
             tt = np.asarray(scene.tex_type)
             mt = np.asarray(scene.mat_type)
             leaf = int(np.asarray(scene.bvh_count).max(initial=0)) or 4
+            sleaf = 4
+            if scene.sbvh_count is not None:
+                sleaf = int(np.asarray(scene.sbvh_count).max(initial=0)) or 4
         except Exception:
             return None
         return SceneFlags(tex_kinds=tuple(sorted(set(tt.tolist()))),
                           mat_kinds=tuple(sorted(set(mt.tolist()))),
-                          bvh_leaf=leaf)
+                          bvh_leaf=leaf, sbvh_leaf=sleaf)
 
 
 def has_tex(flags, kind) -> bool:

@@ -112,7 +112,7 @@ def random_scene(aspect: float = 1.0, max_tex: int | None = None,
         for c in range(-n_grid, n_grid):
             choose = rng.uniform()
             center = np.array([a + 0.9 * rng.uniform(), 0.2,
-                               c + rng.uniform()], np.float32)
+                               c + 0.9 * rng.uniform()], np.float32)
             if np.linalg.norm(center - np.array([4, 0.2, 0])) <= 0.9:
                 continue
             if choose < 0.8:  # drifting gray lambertian (moving_sphere)
@@ -204,15 +204,16 @@ def earth_sphere(aspect: float = 1.0, max_tex: int | None = None, **_kw):
     (``Raytracing_n.cpp:196-205``): an *emissive* earthmap sphere over a
     white ground."""
     b = SceneBuilder()
+    info: dict = {"lights": 1}
     if find_asset("textures/earthmap.jpg") is None:
-        pass  # fallback color below
+        info.setdefault("skipped", []).append("textures/earthmap.jpg")
     earth = b.image(_maybe_downsample(load_image_asset(
         "textures/earthmap.jpg", (0.2, 0.4, 0.8)), max_tex))
     b.sphere((0, -1000, 0), 1000.0,
              b.lambertian(b.constant((0.9, 0.9, 0.9))))
     sid = b.sphere((0, 2, 0), 2.0, b.diffuse_light(earth))
     b.light_sphere(sid)
-    return b.build(), _rtiow_cam(aspect), {"lights": 1}
+    return b.build(), _rtiow_cam(aspect), info
 
 
 @_register
