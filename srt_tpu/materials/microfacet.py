@@ -13,9 +13,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.special import erfinv
 
 from srt_tpu.core import frame
+# The reference evaluates erf/erfinv with its own polynomial fits
+# (common.h:26-78), not libm; using the same shared fits here keeps the
+# XLA path and the fused Pallas kernel (which cannot lower lax.erf)
+# sample-stream-aligned. See core/approx.py.
+from srt_tpu.core.approx import acos_as, erf_as, erfinv_giles as erfinv
 
 _SQRT_PI_INV = 0.5641895835477563
 
@@ -84,10 +88,10 @@ def _beckmann_sample11(cos_theta_i, u1, u2):
     cot_t = 1.0 / jnp.maximum(tan_t, 1e-6)
 
     a = jnp.full_like(u1, -1.0)
-    c = jax.scipy.special.erf(cos_t)
+    c = erf_as(cos_t)
     sample_x = u1
 
-    theta_i = jnp.arccos(jnp.clip(cos_t, -0.999999, 0.999999))
+    theta_i = acos_as(jnp.clip(cos_t, -0.999999, 0.999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
     b = c - (1.0 + c) * jnp.power(1.0 - sample_x, fit)
 
@@ -109,7 +113,10 @@ def _beckmann_sample11(cos_theta_i, u1, u2):
                                   derivative)
         return a, b, c
 
-    a, b, c = jax.lax.fori_loop(0, 6, body, (a, b, c))
+    # 10 iterations: the reference caps at 10 with an early-out; full
+    # convergence also minimizes cross-backend (XLA vs Mosaic) divergence
+    # of the root under ulp-level erf/exp differences.
+    a, b, c = jax.lax.fori_loop(0, 10, body, (a, b, c))
     slope_x = erfinv(jnp.clip(b, -0.9999, 0.9999))
     slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
                               -0.9999, 0.9999))

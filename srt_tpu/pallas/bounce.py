@@ -1,0 +1,929 @@
+"""Fused per-bounce Pallas kernel: intersect + shade + NEE in one launch.
+
+Round-3 profiling (``PERF.md``) measured the XLA bounce at ~9.8 ms for a
+65k-lane wavefront — 90% shading — spread over 15+ medium fusions per
+``while_loop`` iteration: the engine was *launch-granularity* bound at ~5%
+of the VPU's flop ceiling, not compute bound. This kernel collapses the
+entire bounce (sphere/rect closest-hit, emission, the Beckmann/Lambertian/
+Oren-Nayar shading chain with mixture-PDF NEE, Russian roulette) into ONE
+``pallas_call`` so every intermediate lives in vector registers/VMEM and
+the expensive Beckmann subexpressions (``wh``, ``D``, ``Lambda``) are
+computed once and shared between sample, pdf and weight — the fusion the
+reference's recursive estimator gets for free inside a single C++ call
+tree (``Raytracing_n.cpp:55-106``).
+
+Estimator-identical to :func:`srt_tpu.render.integrator.bounce_step`: the
+same counter RNG streams (same dimension slots), the same intersection
+order and tie-breaks, the same material math (``materials/materials.py``)
+— images match the XLA path to float-associativity.
+
+Layout: lanes in ``(_TILE_ROWS, 128)`` f32 planes (one grid program per
+tile); scene tables ride in SMEM and are read as scalars inside the
+primitive/material loops (a dense sweep with scalar-broadcast primitives —
+the pattern that beat both the lockstep BVH walk and per-lane gathers for
+sub-1k-primitive scenes, ``PERF.md``).
+
+Scope (gated statically by ``SceneFlags.fused_bounce``): sphere+rect
+scenes, materials {lambertian, oren-nayar, beckmann, metal, dielectric,
+diffuse_light}, constant/checker textures in-kernel, image textures on
+emitters only — their atlas gather is *deferred*: the kernel emits
+``(tex_id, u, v)`` and the caller adds ``beta * image(u, v)`` in XLA,
+where gathers are cheap. Everything else falls back to the XLA bounce.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from srt_tpu.scene.ir import LightKind, MaterialType, Scene, TextureType
+
+_BIG = np.float32(3.0e38)
+_T_POS_MAX = np.float32(1.0e7)
+_TILE_ROWS = 32                     # 32*128 = 4096 lanes per grid program
+_U32 = jnp.uint32
+_INV_PI = np.float32(1.0 / np.pi)
+_SQRT_PI_INV = np.float32(0.5641895835477563)
+
+# Sampler dimension slots — must match render/integrator.py.
+_DIM_SPEC = 8
+_DIM_MIX = 12
+_DIM_LIGHT_PICK = 13
+_DIM_SAMPLE = 14
+_DIM_RR = 16
+
+
+def fused_bounce_available(flags, interpret: bool = False) -> bool:
+    """Kernel dispatch gate (the heavy lifting is static, in SceneFlags)."""
+    if flags is None or not flags.fused_bounce or flags.ref_parity:
+        return False
+    if interpret:
+        return True
+    return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# small component-wise vector helpers (tuples of (R, 128) arrays)
+# ---------------------------------------------------------------------------
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def _normalize3(a):
+    # exactly vecmath.normalize: reciprocal of the clamped length (rsqrt
+    # rounds differently and decorrelates sample streams from XLA)
+    inv = jnp.reciprocal(jnp.maximum(jnp.sqrt(_dot3(a, a)), 1e-20))
+    return _scale3(a, inv)
+
+
+def _safe_normalize3(a):
+    # exactly vecmath.safe_normalize: +z fallback for degenerate input
+    l2 = _dot3(a, a)
+    ok = l2 > 1e-12
+    inv_len = 1.0 / jnp.sqrt(jnp.where(ok, l2, 1.0))
+    return (jnp.where(ok, a[0], 0.0) * inv_len,
+            jnp.where(ok, a[1], 0.0) * inv_len,
+            jnp.where(ok, a[2], 1.0) * inv_len)
+
+
+def _axis_comp(vec, axis):
+    """Component of ``vec`` selected by the (traced scalar) axis id."""
+    return jnp.where(axis == 0.0, vec[0], jnp.where(axis == 1.0, vec[1],
+                                                    vec[2]))
+
+
+def _axis_compose(na, ua, va, vn, vu, vv):
+    """Vector with value ``vn`` on axis ``na``, ``vu`` on ``ua``, ``vv`` on
+    ``va`` (the three axis ids partition {0,1,2})."""
+    out = []
+    for c in (0.0, 1.0, 2.0):
+        out.append(jnp.where(na == c, vn, jnp.where(ua == c, vu, vv)))
+    return tuple(out)
+
+
+# --- transcendental fallbacks ---------------------------------------------
+# Mosaic's elementwise set lacks erf/asin/acos/atan2/cbrt; the shared
+# reference-faithful fits in core/approx.py (common.h:26-78) are used on
+# BOTH the XLA and kernel paths so their sample streams stay aligned.
+from srt_tpu.core.approx import (acos_as as _acos_poly,          # noqa: E402
+                                 asin_as as _asin_poly,
+                                 atan2_poly as _atan2_poly,
+                                 cbrt_pos as _cbrt_pos,
+                                 erf_as as _erf_poly,
+                                 erfinv_giles as _erfinv)
+
+
+# --- counter RNG (exact port of core/rng.py on (R,128) uint32) -------------
+
+def _mix(x):
+    x = x ^ (x >> 16)
+    x = x * _U32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * _U32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _hash_combine(a, b):
+    return _mix(_mix(a) + (b ^ _U32(0x9E3779B9)))
+
+
+def _uniform(salt, dim: int):
+    bits = _hash_combine(
+        salt, _U32((0xB5297A4D + 0x68E31DA4 * dim) & 0xFFFFFFFF))
+    # Mosaic lacks a direct uint32->f32 cast; the top-24-bit value fits in
+    # int32, so bitcast (sign-safe) then convert.
+    top = jax.lax.bitcast_convert_type(bits >> 8, jnp.int32)
+    return top.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+
+
+# --- local-frame trig (port of core/frame.py on component tuples) ----------
+
+def _sin2_theta(w):
+    return jnp.maximum(0.0, 1.0 - w[2] * w[2])
+
+
+def _sin_theta(w):
+    return jnp.sqrt(_sin2_theta(w))
+
+
+def _tan2_theta(w):
+    return _sin2_theta(w) / jnp.maximum(w[2] * w[2], 1e-20)
+
+
+def _cos_phi(w, st):
+    return jnp.where(st == 0.0, 1.0,
+                     jnp.clip(w[0] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+
+
+def _sin_phi(w, st):
+    return jnp.where(st == 0.0, 0.0,
+                     jnp.clip(w[1] / jnp.maximum(st, 1e-20), -1.0, 1.0))
+
+
+def _beckmann_d(wh, ax, ay):
+    """Anisotropic Beckmann NDF (materials/microfacet.py:beckmann_d)."""
+    tan2 = jnp.minimum(_tan2_theta(wh), 1e8)
+    cos2 = wh[2] * wh[2]
+    cos4 = cos2 * cos2
+    st = _sin_theta(wh)
+    cp, sp = _cos_phi(wh, st), _sin_phi(wh, st)
+    e = jnp.exp(-tan2 * (cp * cp / (ax * ax) + sp * sp / (ay * ay)))
+    d = e / (np.float32(np.pi) * ax * ay * jnp.maximum(cos4, 1e-16))
+    return jnp.where(tan2 < 1e8, d, 0.0)
+
+
+def _beckmann_lambda(w, ax, ay):
+    """Rational-approx Lambda (materials/microfacet.py:beckmann_lambda)."""
+    c = w[2]
+    st = _sin_theta(w)
+    safe_c = jnp.where(jnp.abs(c) < 1e-8, jnp.sign(c) * 1e-8 + 1e-20, c)
+    abs_tan = jnp.minimum(jnp.abs(st / safe_c), 1e8)
+    cp, sp = _cos_phi(w, st), _sin_phi(w, st)
+    alpha = jnp.sqrt(cp * cp * ax * ax + sp * sp * ay * ay)
+    a = 1.0 / jnp.maximum(alpha * abs_tan, 1e-16)
+    a_safe = jnp.clip(a, 1e-4, 1.6)
+    lam = ((1.0 - 1.259 * a_safe + 0.396 * a_safe * a_safe)
+           / (3.535 * a_safe + 2.181 * a_safe * a_safe))
+    return jnp.where(a > 1.6, 0.0, lam)
+
+
+def _beckmann_sample11(cos_t_i, u1, u2):
+    """Fixed 6-step Newton-bisection P22 slope sampling
+    (materials/microfacet.py:_beckmann_sample11)."""
+    erf = _erf_poly
+    erfinv = _erfinv
+    u1 = jnp.maximum(u1, 1e-6)
+    r = jnp.sqrt(-jnp.log1p(-u1))
+    phi = 2.0 * np.float32(np.pi) * u2
+    sx_normal = r * jnp.cos(phi)
+    sy_normal = r * jnp.sin(phi)
+
+    cos_t = jnp.clip(cos_t_i, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    tan_t = sin_t / jnp.maximum(cos_t, 1e-6)
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-6)
+
+    a = jnp.full_like(u1, -1.0)
+    c = erf(cos_t)
+    sample_x = u1
+    theta_i = _acos_poly(jnp.clip(cos_t, -0.999999, 0.999999))
+    fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
+    b = c - (1.0 + c) * jnp.exp(fit * jnp.log(jnp.maximum(1.0 - sample_x,
+                                                          1e-30)))
+    normalization = 1.0 / (1.0 + c + _SQRT_PI_INV * tan_t
+                           * jnp.exp(-cot_t * cot_t))
+    for _ in range(10):
+        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
+        inv_erf = erfinv(jnp.clip(b, -0.9999, 0.9999))
+        value = (normalization
+                 * (1.0 + b + _SQRT_PI_INV * tan_t
+                    * jnp.exp(-inv_erf * inv_erf)) - sample_x)
+        derivative = normalization * (1.0 - inv_erf * tan_t)
+        c = jnp.where(value > 0.0, b, c)
+        a = jnp.where(value > 0.0, a, b)
+        b = b - value / jnp.where(jnp.abs(derivative) < 1e-10,
+                                  jnp.sign(derivative) * 1e-10 + 1e-20,
+                                  derivative)
+    slope_x = erfinv(jnp.clip(b, -0.9999, 0.9999))
+    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
+                              -0.9999, 0.9999))
+    normal_inc = cos_t_i > 0.9999
+    return (jnp.where(normal_inc, sx_normal, slope_x),
+            jnp.where(normal_inc, sy_normal, slope_y))
+
+
+def _sample_wh_visible(wo, ax, ay, u1, u2):
+    """VNDF Beckmann half-vector (materials/microfacet.py:sample_wh_visible)."""
+    flip = wo[2] < 0.0
+    wi = _where3(flip, _neg3(wo), wo)
+    st = (ax * wi[0], ay * wi[1], wi[2])
+    # divide (not multiply-by-reciprocal): a 1-ulp difference here flips
+    # the cosThetaI > 0.9999 normal-incidence branch vs the XLA path
+    nrm = jnp.maximum(jnp.sqrt(_dot3(st, st)), 1e-20)
+    st = (st[0] / nrm, st[1] / nrm, st[2] / nrm)
+    sx, sy = _beckmann_sample11(st[2], u1, u2)
+    s_t = _sin_theta(st)
+    cp, sp = _cos_phi(st, s_t), _sin_phi(st, s_t)
+    tmp = cp * sx - sp * sy
+    sy = sp * sx + cp * sy
+    sx = tmp
+    sx = ax * sx
+    sy = ay * sy
+    whv = (-sx, -sy, jnp.ones_like(sx))
+    nrm2 = jnp.maximum(jnp.sqrt(_dot3(whv, whv)), 1e-20)
+    wh = (whv[0] / nrm2, whv[1] / nrm2, whv[2] / nrm2)
+    return _where3(flip, _neg3(wh), wh)
+
+
+def _sphere_uv(unit):
+    """Spherical uv (render/intersect.py:_sphere_uv), NaN-safe poles."""
+    x, y, z = unit
+    r2 = x * x + z * z
+    off_axis = r2 > 1e-12
+    phi = _atan2_poly(jnp.where(off_axis, z, 0.0),
+                      jnp.where(off_axis, x, 1.0))
+    y = jnp.clip(y, -1.0, 1.0)
+    inner = jnp.abs(y) < 0.999999
+    theta = jnp.where(inner, _asin_poly(jnp.where(inner, y, 0.0)),
+                      jnp.sign(y) * np.float32(0.5 * np.pi))
+    u = 1.0 - (phi + np.float32(np.pi)) / np.float32(2.0 * np.pi)
+    v = (theta + np.float32(np.pi / 2.0)) / np.float32(np.pi)
+    return u, v
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref,
+            bx_ref, by_ref, bz_ref, rx_ref, ry_ref, rz_ref,
+            salt_ref, depth_ref, alive_ref,
+            oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
+            alive_o, dtex_o, du_o, dv_o, dw_o,
+            *, n_sph: int, n_rect: int, n_mat: int, light_kinds: tuple,
+            mat_kinds: tuple, tex_kinds: tuple, moving: bool,
+            max_depth: int, rr_start: int, pdf_floor: float):
+    f32 = jnp.float32
+    o = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d = (dx_ref[:], dy_ref[:], dz_ref[:])
+    beta = (bx_ref[:], by_ref[:], bz_ref[:])
+    radiance = (rx_ref[:], ry_ref[:], rz_ref[:])
+    alive = alive_ref[:] != 0
+    depth = depth_ref[:]
+    t_min = f32(1e-3)
+
+    has = lambda k: int(k) in mat_kinds                       # noqa: E731
+    has_beck = has(MaterialType.BECKMANN)
+    has_on = has(MaterialType.OREN_NAYAR)
+    has_metal = has(MaterialType.METAL)
+    has_diel = has(MaterialType.DIELECTRIC)
+    any_specular = has_metal or has_diel
+    has_checker = int(TextureType.CHECKER) in tex_kinds
+    time = time_ref[:] if moving else None
+
+    # per-lane sampler stream for this bounce
+    salt = _hash_combine(salt_ref[:],
+                     jax.lax.bitcast_convert_type(depth, _U32))
+
+    # --- closest hit over spheres ---------------------------------------
+    # Carries select the *winner's* fields as the sweep goes; ties keep
+    # the first (lowest-index) primitive like the XLA argmin.
+    zero = jnp.zeros_like(o[0])
+    t_best = jnp.full_like(o[0], _BIG)
+    w_cx, w_cy, w_cz = zero, zero, zero        # sphere center (win)
+    w_r = jnp.ones_like(o[0])                  # sphere radius (win)
+    w_flip = jnp.ones_like(o[0])               # stored-normal sign
+    w_mat = zero                               # material id (f32)
+    w_is_rect = zero                           # 0/1 as f32 (Mosaic
+                                               # dislikes i1 carries)
+
+    def sphere_body(s, carry):
+        t_best, cx, cy, cz, r, flip, mat = carry
+        c0 = (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2])
+        if moving:
+            f = (time - sph_ref[s, 6]) * sph_ref[s, 7]
+            cen = (c0[0] + f * sph_ref[s, 3], c0[1] + f * sph_ref[s, 4],
+                   c0[2] + f * sph_ref[s, 5])
+        else:
+            cen = c0
+        rad = sph_ref[s, 8]
+        oc = _sub3(o, cen)
+        b = _dot3(oc, d)
+        c = _dot3(oc, oc) - rad * rad
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0, t1 = -b - sq, -b + sq
+        ok = disc > 0.0
+        t = jnp.where(ok & (t0 > t_min), t0,
+                      jnp.where(ok & (t1 > t_min), t1, _BIG))
+        better = t < t_best
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, cen[0], cx),
+                jnp.where(better, cen[1], cy),
+                jnp.where(better, cen[2], cz),
+                jnp.where(better, rad, r),
+                jnp.where(better, sph_ref[s, 10], flip),
+                jnp.where(better, sph_ref[s, 9], mat))
+
+    if n_sph:
+        t_best, w_cx, w_cy, w_cz, w_r, w_flip, w_mat = jax.lax.fori_loop(
+            0, n_sph, sphere_body,
+            (t_best, w_cx, w_cy, w_cz, w_r, w_flip, w_mat))
+
+    # --- closest hit over rects (normal/uv computed in-loop) -------------
+    w_nx, w_ny, w_nz = zero, zero, zero
+    w_u, w_v = zero, zero
+
+    def rect_body(rr, carry):
+        t_best, nx, ny, nz, u, v, mat, is_rect = carry
+        na, ua, va = rect_ref[rr, 0], rect_ref[rr, 1], rect_ref[rr, 2]
+        k = rect_ref[rr, 3]
+        a0, a1, b0, b1 = (rect_ref[rr, 4], rect_ref[rr, 5],
+                          rect_ref[rr, 6], rect_ref[rr, 7])
+        d_n = _axis_comp(d, na)
+        o_n = _axis_comp(o, na)
+        t = (k - o_n) / jnp.where(jnp.abs(d_n) < 1e-20, 1e-20, d_n)
+        pu = _axis_comp(o, ua) + t * _axis_comp(d, ua)
+        pv = _axis_comp(o, va) + t * _axis_comp(d, va)
+        valid = ((pu >= a0) & (pu <= a1) & (pv >= b0) & (pv <= b1)
+                 & (t > t_min))
+        better = valid & (t < t_best)
+        flip = rect_ref[rr, 9]
+        one = jnp.ones_like(t)
+        return (jnp.where(better, t, t_best),
+                jnp.where(better, jnp.where(na == 0.0, flip, 0.0) * one, nx),
+                jnp.where(better, jnp.where(na == 1.0, flip, 0.0) * one, ny),
+                jnp.where(better, jnp.where(na == 2.0, flip, 0.0) * one, nz),
+                jnp.where(better, (pu - a0) / (a1 - a0), u),
+                jnp.where(better, (pv - b0) / (b1 - b0), v),
+                jnp.where(better, rect_ref[rr, 8], mat),
+                jnp.where(better, jnp.ones_like(is_rect), is_rect))
+
+    if n_rect:
+        (t_best, w_nx, w_ny, w_nz, w_u, w_v, w_mat,
+         w_is_rect) = jax.lax.fori_loop(
+            0, n_rect, rect_body,
+            (t_best, w_nx, w_ny, w_nz, w_u, w_v, w_mat, w_is_rect))
+
+    w_is_rect = w_is_rect > 0.5
+    hit = t_best < f32(1e30)
+    p = _add3(o, _scale3(d, jnp.minimum(t_best, _T_POS_MAX)))
+
+    # sphere lanes: stored normal from the winning center. The uv for
+    # deferred image emission is NOT computed here — the kernel emits the
+    # raw unit vector and the caller runs the exact _sphere_uv trig in
+    # XLA (the in-kernel asin/atan2 polynomials flip ~2% of sky texels).
+    inv_r = 1.0 / w_r
+    unit = ((p[0] - w_cx) * inv_r, (p[1] - w_cy) * inv_r,
+            (p[2] - w_cz) * inv_r)
+    n_st = _where3(w_is_rect, (w_nx, w_ny, w_nz), _scale3(unit, w_flip))
+    # miss-lane sanitation (integrator.py: zero normal -> +z, p -> origin)
+    n_ok = hit & (_dot3(n_st, n_st) > 1e-12)
+    n_st = _where3(n_ok, n_st, (zero, zero, jnp.ones_like(zero)))
+    p = _where3(hit, p, o)
+
+    # --- material resolve -------------------------------------------------
+    m_type = zero
+    m_p0, m_p1, m_p2, m_p3 = zero, zero, zero, zero
+    m_textype = zero
+    m_c = (zero, zero, zero)
+    m_c2 = (zero, zero, zero)
+    m_timg = zero - 1.0
+
+    def mat_body(m, carry):
+        (mt, p0, p1, p2, p3, tt, c0, c1, c2, d0, d1, d2, ti) = carry
+        sel = w_mat == m.astype(f32)
+        return (jnp.where(sel, mat_ref[m, 0], mt),
+                jnp.where(sel, mat_ref[m, 1], p0),
+                jnp.where(sel, mat_ref[m, 2], p1),
+                jnp.where(sel, mat_ref[m, 3], p2),
+                jnp.where(sel, mat_ref[m, 4], p3),
+                jnp.where(sel, mat_ref[m, 5], tt),
+                jnp.where(sel, mat_ref[m, 6], c0),
+                jnp.where(sel, mat_ref[m, 7], c1),
+                jnp.where(sel, mat_ref[m, 8], c2),
+                jnp.where(sel, mat_ref[m, 9], d0),
+                jnp.where(sel, mat_ref[m, 10], d1),
+                jnp.where(sel, mat_ref[m, 11], d2),
+                jnp.where(sel, mat_ref[m, 13], ti))
+
+    (m_type, m_p0, m_p1, m_p2, m_p3, m_textype, c0_, c1_, c2_, d0_, d1_,
+     d2_, m_timg) = jax.lax.fori_loop(
+        0, n_mat, mat_body,
+        (m_type, m_p0, m_p1, m_p2, m_p3, m_textype, m_c[0], m_c[1], m_c[2],
+         m_c2[0], m_c2[1], m_c2[2], m_timg))
+    m_c = (c0_, c1_, c2_)
+    m_c2 = (d0_, d1_, d2_)
+
+    # texture color (constant / checker) — texture_value math
+    if has_checker:
+        sines = (jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1])
+                 * jnp.sin(10.0 * p[2]))
+        is_chk = m_textype == f32(int(TextureType.CHECKER))
+        alb = _where3(is_chk & (sines < 0.0), m_c2, m_c)
+    else:
+        alb = m_c
+
+    # --- emission (one-sided, material.h:348-354) -------------------------
+    is_light = m_type == f32(int(MaterialType.DIFFUSE_LIGHT))
+    facing = _dot3(n_st, d) < 0.0
+    emit_lane = alive & hit & is_light & facing
+    is_img = m_textype == f32(int(TextureType.IMAGE))
+    emit_now = emit_lane & ~is_img
+    radiance = _add3(radiance,
+                     _where3(emit_now, (beta[0] * alb[0], beta[1] * alb[1],
+                                        beta[2] * alb[2]),
+                             (zero, zero, zero)))
+    # deferred image emission: caller gathers the atlas in XLA. The tex
+    # id is tagged with the primitive kind (bit 0) so the caller knows
+    # whether (du, dv, dw) is a rect uv or a sphere unit vector.
+    tag = m_timg * 2.0 + jnp.where(w_is_rect, 1.0, 0.0)
+    dtex_o[:] = jnp.where(emit_lane & is_img, tag, -1.0).astype(jnp.int32)
+    du_o[:] = jnp.where(w_is_rect, w_u, unit[0])
+    dv_o[:] = jnp.where(w_is_rect, w_v, unit[1])
+    dw_o[:] = unit[2]
+
+    scatters = hit & ~is_light
+
+    # --- specular branch (metal / dielectric) -----------------------------
+    ddn = _dot3(d, n_st)
+    refl = _sub3(d, _scale3(n_st, 2.0 * ddn))
+    if any_specular:
+        u_s = [_uniform(salt, _DIM_SPEC + i) for i in range(4)]
+        spec_dir = refl
+        spec_att = (jnp.ones_like(zero),) * 3
+        if has_metal:
+            # metal fuzz ball (materials.py:_uniform_in_sphere exact form)
+            zz = 1.0 - 2.0 * u_s[0]
+            phi = 2.0 * np.float32(np.pi) * u_s[1]
+            r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz * zz))
+            radius = _cbrt_pos(jnp.maximum(u_s[2], 1e-12))
+            ball = (radius * r_xy * jnp.cos(phi),
+                    radius * r_xy * jnp.sin(phi), radius * zz)
+            fuzz = m_p0
+            mdir = _safe_normalize3(_add3(refl, _scale3(ball, fuzz)))
+            is_metal = m_type == f32(int(MaterialType.METAL))
+            spec_dir = _where3(is_metal, mdir, spec_dir)
+            spec_att = _where3(is_metal, alb, spec_att)
+        if has_diel:
+            ref_idx = jnp.maximum(m_p0, 1e-2)
+            going_out = ddn > 0.0
+            out_n = _where3(going_out, _neg3(n_st), n_st)
+            ni_over_nt = jnp.where(going_out, ref_idx, 1.0 / ref_idx)
+            cosine = jnp.where(going_out, ddn, -ddn)
+            # refract (vecmath.refract_dir math)
+            dt = _dot3(d, out_n)
+            disc_r = 1.0 - ni_over_nt * ni_over_nt * (1.0 - dt * dt)
+            can = disc_r > 0.0
+            sq_r = jnp.sqrt(jnp.maximum(disc_r, 0.0))
+            refr = _sub3(_scale3(_sub3(d, _scale3(out_n, dt)), ni_over_nt),
+                         _scale3(out_n, sq_r))
+            r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+            r0 = r0 * r0
+            omc = jnp.maximum(1.0 - cosine, 0.0)
+            omc2 = omc * omc
+            schlick = r0 + (1.0 - r0) * omc2 * omc2 * omc
+            reflect_prob = jnp.where(can, schlick, 1.0)
+            take_refl = u_s[3] < reflect_prob
+            ddir = _normalize3(_where3(take_refl, refl, refr))
+            is_diel = m_type == f32(int(MaterialType.DIELECTRIC))
+            spec_dir = _where3(is_diel, ddir, spec_dir)
+        spec_mask = zero < -1.0
+        if has_metal:
+            spec_mask = spec_mask | (m_type == f32(int(MaterialType.METAL)))
+        if has_diel:
+            spec_mask = spec_mask | (m_type
+                                     == f32(int(MaterialType.DIELECTRIC)))
+        specular = scatters & spec_mask
+    else:
+        specular = scatters & (zero < -1.0)
+        spec_dir = d
+        spec_att = (zero, zero, zero)
+
+    # --- diffuse branch: mixture-PDF NEE ---------------------------------
+    # face-forward shading basis (materials.py:_face_basis / core/onb.py).
+    # from_w normalizes its input — sphere normals (p-c)/r are only
+    # approximately unit, and skipping this skews directions by ~1e-4.
+    nf = _normalize3(_where3(ddn > 0.0, _neg3(n_st), n_st))
+    w_ax = _where3(jnp.abs(nf[0]) > 0.9,
+                   (zero, jnp.ones_like(zero), zero),
+                   (jnp.ones_like(zero), zero, zero))
+    bv = _normalize3(_cross3(nf, w_ax))
+    bu = _cross3(nf, bv)
+
+    wo = (-_dot3(d, bu), -_dot3(d, bv), -_dot3(d, nf))
+    u_mix = _uniform(salt, _DIM_MIX)
+    u_pick = _uniform(salt, _DIM_LIGHT_PICK)
+    u1 = _uniform(salt, _DIM_SAMPLE)
+    u2 = _uniform(salt, _DIM_SAMPLE + 1)
+
+    # BSDF importance sample (materials.py:sample_bsdf)
+    phi_c = 2.0 * np.float32(np.pi) * u1
+    sq_c = jnp.sqrt(u2)
+    cosd = (jnp.cos(phi_c) * sq_c, jnp.sin(phi_c) * sq_c,
+            jnp.sqrt(jnp.maximum(0.0, 1.0 - u2)))
+    wi_local = cosd
+    if has_beck:
+        b_ax = jnp.maximum(m_p0, 1e-4)
+        b_ay = jnp.maximum(m_p1, 1e-4)
+        wh_s = _sample_wh_visible(wo, b_ax, b_ay, u1, u2)
+        beck_wi = _add3(_neg3(wo), _scale3(wh_s, 2.0 * _dot3(wo, wh_s)))
+        is_beck = m_type == f32(int(MaterialType.BECKMANN))
+        wi_local = _where3(is_beck, beck_wi, cosd)
+    bsdf_dir = _normalize3(_add3(_add3(_scale3(bu, wi_local[0]),
+                                       _scale3(bv, wi_local[1])),
+                                 _scale3(nf, wi_local[2])))
+
+    n_lights = len(light_kinds)
+    if n_lights:
+        # light sample (lights.py:sample_lights, unrolled static kinds)
+        pick = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
+                           n_lights - 1)
+        light_dir = (zero, zero, zero)
+        for li, kind in enumerate(light_kinds):
+            if kind == int(LightKind.RECT):
+                na, ua, va = (light_ref[li, 0], light_ref[li, 1],
+                              light_ref[li, 2])
+                k = light_ref[li, 3]
+                a0, a1, b0, b1 = (light_ref[li, 4], light_ref[li, 5],
+                                  light_ref[li, 6], light_ref[li, 7])
+                pu = a0 + u1 * (a1 - a0)
+                pv = b0 + u2 * (b1 - b0)
+                point = _axis_compose(na, ua, va, k + zero, pu, pv)
+                wl = _normalize3(_sub3(point, p))
+            else:  # SPHERE: cone sampling (lights.py:_sphere_sample)
+                cen = (light_ref[li, 0], light_ref[li, 1], light_ref[li, 2])
+                rad = light_ref[li, 3]
+                to_c = _sub3(cen, p)
+                dist_sq = _dot3(to_c, to_c)
+                inside = dist_sq <= rad * rad
+                cmx = jnp.sqrt(jnp.maximum(
+                    1.0 - rad * rad / jnp.maximum(dist_sq, 1e-12), 0.0))
+                zq = jnp.where(inside, 1.0 - 2.0 * u2,
+                               1.0 + u2 * (cmx - 1.0))
+                phi_l = 2.0 * np.float32(np.pi) * u1
+                sq_l = jnp.sqrt(jnp.maximum(1.0 - zq * zq, 0.0))
+                lw = _normalize3(to_c)
+                la = _where3(jnp.abs(lw[0]) > 0.9,
+                             (zero, jnp.ones_like(zero), zero),
+                             (jnp.ones_like(zero), zero, zero))
+                lv = _normalize3(_cross3(lw, la))
+                lu = _cross3(lw, lv)
+                local = (jnp.cos(phi_l) * sq_l, jnp.sin(phi_l) * sq_l, zq)
+                wl = _add3(_add3(_scale3(lu, local[0]),
+                                 _scale3(lv, local[1])),
+                           _scale3(lw, local[2]))
+            light_dir = _where3(pick == li, wl, light_dir)
+
+        pick_light = u_mix < 0.5
+        wi = _where3(pick_light, light_dir, bsdf_dir)
+
+        # lights_pdf (uniform mixture over lights)
+        lpdf = zero
+        for li, kind in enumerate(light_kinds):
+            if kind == int(LightKind.RECT):
+                na, ua, va = (light_ref[li, 0], light_ref[li, 1],
+                              light_ref[li, 2])
+                k = light_ref[li, 3]
+                a0, a1, b0, b1 = (light_ref[li, 4], light_ref[li, 5],
+                                  light_ref[li, 6], light_ref[li, 7])
+                d_n = _axis_comp(wi, na)
+                t_l = ((k - _axis_comp(p, na))
+                       / jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n))
+                hu = _axis_comp(p, ua) + t_l * _axis_comp(wi, ua)
+                hv = _axis_comp(p, va) + t_l * _axis_comp(wi, va)
+                inside_l = ((t_l > 1e-3) & (hu >= a0) & (hu <= a1)
+                            & (hv >= b0) & (hv <= b1))
+                area = (a1 - a0) * (b1 - b0)
+                pdf_l = t_l * t_l / jnp.maximum(jnp.abs(d_n) * area, 1e-12)
+                lpdf += jnp.where(inside_l, pdf_l, 0.0)
+            else:  # lights.py:_sphere_pdf
+                cen = (light_ref[li, 0], light_ref[li, 1], light_ref[li, 2])
+                rad = light_ref[li, 3]
+                oc = _sub3(p, cen)
+                b_l = _dot3(oc, wi)
+                c_l = _dot3(oc, oc) - rad * rad
+                disc_l = b_l * b_l - c_l
+                hits = disc_l > 0.0
+                sq_d = jnp.sqrt(jnp.maximum(disc_l, 0.0))
+                hits = hits & ((-b_l - sq_d > 1e-3) | (-b_l + sq_d > 1e-3))
+                cmx = jnp.sqrt(jnp.maximum(
+                    1.0 - rad * rad / jnp.maximum(c_l + rad * rad, 1e-12),
+                    0.0))
+                solid = 2.0 * np.float32(np.pi) * (1.0 - cmx)
+                pdf_l = jnp.where(hits, 1.0 / jnp.maximum(solid, 1e-12),
+                                  0.0)
+                pdf_l = jnp.where(c_l <= 0.0,
+                                  np.float32(1.0 / (4.0 * np.pi)), pdf_l)
+                lpdf += pdf_l
+        lpdf = lpdf / np.float32(n_lights)
+    else:
+        wi = bsdf_dir
+        lpdf = None
+
+    # BSDF pdf + weight at wi — shared wh / D / Lambda subexpressions
+    wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
+    cos_i = jnp.maximum(wil[2], 0.0)
+    cos_pdf = cos_i * _INV_PI
+    bpdf = cos_pdf
+    wgt = cos_i * _INV_PI          # lambertian f*cos
+    if has_on:
+        # full Oren-Nayar A+B term (materials.py:_oren_nayar_term)
+        sin_ti, sin_to = _sin_theta(wil), _sin_theta(wo)
+        cp_i, sp_i = _cos_phi(wil, sin_ti), _sin_phi(wil, sin_ti)
+        cp_o, sp_o = _cos_phi(wo, sin_to), _sin_phi(wo, sin_to)
+        d_cos = cp_i * cp_o + sp_i * sp_o
+        max_cos = jnp.where((sin_ti > 1e-4) & (sin_to > 1e-4),
+                            jnp.maximum(0.0, d_cos), 0.0)
+        abs_ci, abs_co = jnp.abs(wil[2]), jnp.abs(wo[2])
+        i_bigger = abs_ci > abs_co
+        sin_alpha = jnp.where(i_bigger, sin_to, sin_ti)
+        tan_beta = jnp.where(i_bigger,
+                             sin_ti / jnp.maximum(abs_ci, 1e-8),
+                             sin_to / jnp.maximum(abs_co, 1e-8))
+        on = cos_i * (m_p0 + m_p1 * max_cos * sin_alpha * tan_beta) * _INV_PI
+        wgt = jnp.where(m_type == f32(int(MaterialType.OREN_NAYAR)), on,
+                        wgt)
+    if has_beck:
+        wh = _safe_normalize3(_add3(wil, wo))
+        dD = _beckmann_d(wh, b_ax, b_ay)
+        lam_o = _beckmann_lambda(wo, b_ax, b_ay)
+        lam_i = _beckmann_lambda(wil, b_ax, b_ay)
+        same_h = wil[2] * wo[2] > 0.0
+        abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
+        g1_o = 1.0 / (1.0 + lam_o)
+        # pdf: VNDF density / (4 |wo.wh|)  — the |wo.wh| cancels
+        beck_pdf = dD * g1_o * jnp.abs(_dot3(wo, wh)) / abs_woz \
+            / jnp.maximum(4.0 * jnp.abs(_dot3(wo, wh)), 1e-8)
+        beck_pdf = jnp.where(same_h, beck_pdf, 0.0)
+        bpdf = jnp.where(is_beck, beck_pdf, bpdf)
+        # weight: D * G / (4 |woz|)   (f * cos, materials.py:bsdf_weight)
+        g_full = 1.0 / (1.0 + lam_o + lam_i)
+        beck_w = dD * g_full / jnp.maximum(4.0 * abs_woz, 1e-8)
+        beck_w = jnp.where(same_h, beck_w, 0.0)
+        wgt = jnp.where(is_beck, beck_w, wgt)
+
+    pdf = 0.5 * lpdf + 0.5 * bpdf if n_lights else bpdf
+    okp = pdf > pdf_floor
+    inv_pdf = 1.0 / jnp.maximum(pdf, pdf_floor)
+    scale = jnp.where(okp, wgt * inv_pdf, 0.0)
+    diff_beta = _scale3(alb, scale)
+
+    # --- merge branches, roulette, outputs --------------------------------
+    new_dir = _where3(specular, spec_dir, wi)
+    beta_scale = _where3(specular, spec_att, diff_beta)
+    new_beta = (beta[0] * beta_scale[0], beta[1] * beta_scale[1],
+                beta[2] * beta_scale[2])
+    beta_max = jnp.maximum(jnp.maximum(new_beta[0], new_beta[1]),
+                           new_beta[2])
+    new_alive = alive & scatters & (beta_max > 0.0)
+    if rr_start < max_depth:
+        q = jnp.clip(beta_max, 0.05, 1.0)
+        do_rr = depth >= rr_start
+        survive = _uniform(salt, _DIM_RR) < q
+        new_alive = new_alive & (~do_rr | survive)
+        keep = do_rr & new_alive
+        new_beta = _where3(keep, _scale3(new_beta, 1.0 / q), new_beta)
+
+    upd = alive & scatters
+    out_o = _where3(upd, p, o)
+    out_d = _where3(upd, new_dir, d)
+    out_b = _where3(alive, new_beta, beta)
+
+    oxo[:], oyo[:], ozo[:] = out_o
+    dxo[:], dyo[:], dzo[:] = out_d
+    bxo[:], byo[:], bzo[:] = out_b
+    rxo[:], ryo[:], rzo[:] = radiance
+    alive_o[:] = (new_alive & alive).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# XLA-side wrapper
+# ---------------------------------------------------------------------------
+
+def _build_tables(scene: Scene, flags):
+    """Flatten scene SoA into the kernel's SMEM records (all f32)."""
+    f32 = jnp.float32
+    S, R, Mt = scene.n_spheres, scene.n_rects, scene.mat_type.shape[0]
+    from srt_tpu.render.intersect import (_RECT_NAXIS, _RECT_UAXIS,
+                                          _RECT_VAXIS)
+    if S:
+        dt = jnp.maximum(scene.sph_times[:, 1] - scene.sph_times[:, 0],
+                         1e-20)
+        flip_sign = jnp.where(scene.sph_flip, -1.0, 1.0).astype(f32)
+        sph = jnp.concatenate([
+            scene.sph_center0.astype(f32),
+            (scene.sph_center1 - scene.sph_center0).astype(f32),
+            scene.sph_times[:, 0:1].astype(f32),
+            (1.0 / dt)[:, None].astype(f32),
+            scene.sph_radius[:, None].astype(f32),
+            scene.sph_mat[:, None].astype(f32),
+            flip_sign[:, None],
+            jnp.zeros((S, 1), f32),
+        ], axis=1)                                               # (S, 12)
+    else:
+        sph = jnp.zeros((1, 12), f32)
+    if R:
+        na = jnp.take(jnp.asarray(_RECT_NAXIS), scene.rect_axis)
+        ua = jnp.take(jnp.asarray(_RECT_UAXIS), scene.rect_axis)
+        va = jnp.take(jnp.asarray(_RECT_VAXIS), scene.rect_axis)
+        rflip = jnp.where(scene.rect_flip, -1.0, 1.0).astype(f32)
+        rect = jnp.stack([
+            na.astype(f32), ua.astype(f32), va.astype(f32),
+            scene.rect_k.astype(f32),
+            scene.rect_bounds[:, 0].astype(f32),
+            scene.rect_bounds[:, 1].astype(f32),
+            scene.rect_bounds[:, 2].astype(f32),
+            scene.rect_bounds[:, 3].astype(f32),
+            scene.rect_mat.astype(f32), rflip,
+        ], axis=1)                                               # (R, 10)
+    else:
+        rect = jnp.zeros((1, 10), f32)
+    tex = scene.mat_tex
+    mat = jnp.concatenate([
+        scene.mat_type[:, None].astype(f32),
+        scene.mat_params.astype(f32),
+        scene.tex_type[tex][:, None].astype(f32),
+        scene.tex_color[tex].astype(f32),
+        scene.tex_color2[tex].astype(f32),
+        jnp.zeros((Mt, 1), f32),            # (reserved: noise scale)
+        tex[:, None].astype(f32),           # image tex id (deferred emit)
+    ], axis=1)                                                   # (Mt, 14)
+    rows = []
+    for li, kind in enumerate(flags.light_kinds):
+        idx = scene.light_index[li]
+        if kind == int(LightKind.RECT):
+            ic = jnp.clip(idx, 0, max(R - 1, 0))
+            rows.append(jnp.stack([
+                jnp.take(jnp.asarray(_RECT_NAXIS),
+                         scene.rect_axis[ic]).astype(f32),
+                jnp.take(jnp.asarray(_RECT_UAXIS),
+                         scene.rect_axis[ic]).astype(f32),
+                jnp.take(jnp.asarray(_RECT_VAXIS),
+                         scene.rect_axis[ic]).astype(f32),
+                scene.rect_k[ic].astype(f32),
+                scene.rect_bounds[ic, 0].astype(f32),
+                scene.rect_bounds[ic, 1].astype(f32),
+                scene.rect_bounds[ic, 2].astype(f32),
+                scene.rect_bounds[ic, 3].astype(f32),
+            ]))
+        else:
+            ic = jnp.clip(idx, 0, max(scene.n_spheres - 1, 0))
+            rows.append(jnp.concatenate([
+                scene.sph_center0[ic].astype(f32),
+                scene.sph_radius[ic][None].astype(f32),
+                jnp.zeros((4,), f32),
+            ]))
+    light = (jnp.stack(rows) if rows else jnp.zeros((1, 8), f32))
+    return sph, rect, mat, light
+
+
+def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
+                 flags, pdf_floor: float = 1e-9,
+                 interpret: bool = False) -> dict:
+    """Drop-in for :func:`srt_tpu.render.integrator.bounce_step` on scenes
+    gated by ``SceneFlags.fused_bounce`` (forward only — engines that
+    differentiate keep the XLA path)."""
+    n = state["o"].shape[0]
+    tile = _TILE_ROWS * 128
+    n_pad = -(-n // tile) * tile
+    grid = n_pad // tile
+    rows = n_pad // 128
+
+    def plane_f(x, fill=0.0):
+        x = jnp.asarray(x, jnp.float32)
+        return jnp.pad(x, (0, n_pad - n),
+                       constant_values=fill).reshape(rows, 128)
+
+    def plane_i(x, dtype):
+        x = jnp.asarray(x, dtype)
+        return jnp.pad(x, (0, n_pad - n)).reshape(rows, 128)
+
+    o, d = state["o"], state["d"]
+    beta, radiance = state["beta"], state["radiance"]
+    ins = [
+        plane_f(o[:, 0]), plane_f(o[:, 1]), plane_f(o[:, 2]),
+        plane_f(d[:, 0]), plane_f(d[:, 1]), plane_f(d[:, 2], 1.0),
+        plane_f(state["time"]),
+        plane_f(beta[:, 0]), plane_f(beta[:, 1]), plane_f(beta[:, 2]),
+        plane_f(radiance[:, 0]), plane_f(radiance[:, 1]),
+        plane_f(radiance[:, 2]),
+        plane_i(state["salt"], jnp.uint32),
+        plane_i(state["depth"], jnp.int32),
+        plane_i(state["alive"], jnp.int32),
+    ]
+    sph, rect, mat, light = _build_tables(scene, flags)
+
+    kernel = functools.partial(
+        _kernel,
+        n_sph=int(scene.n_spheres), n_rect=int(scene.n_rects),
+        n_mat=int(scene.mat_type.shape[0]),
+        light_kinds=tuple(flags.light_kinds),
+        mat_kinds=tuple(flags.mat_kinds), tex_kinds=tuple(flags.tex_kinds),
+        moving=bool(flags.moving), max_depth=int(max_depth),
+        rr_start=int(rr_start), pdf_floor=float(pdf_floor))
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_f = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    shape_f = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[smem] * 4 + [tile_f] * 16,
+        out_specs=tuple([tile_f] * 17),
+        out_shape=tuple([shape_f] * 12 + [shape_i, shape_i]
+                        + [shape_f, shape_f, shape_f]),
+        interpret=interpret,
+    )(sph, rect, mat, light, *ins)
+
+    (ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz,
+     alive_o, dtex, du, dv, dw) = outs
+
+    def unflat(a):
+        return a.reshape(-1)[:n]
+
+    radiance_out = jnp.stack([unflat(rx), unflat(ry), unflat(rz)], axis=-1)
+    # deferred image emission (atlas gather in XLA)
+    dtex = unflat(dtex)
+    has_img = int(TextureType.IMAGE) in flags.tex_kinds
+    if has_img and scene.atlas.shape[0] > 0:
+        from srt_tpu.materials.textures import _image_value
+        from srt_tpu.render.intersect import _sphere_uv
+        mask = dtex >= 0
+        is_rect = (dtex & 1) == 1
+        tex_id = jnp.clip(dtex >> 1, 0, scene.tex_type.shape[0] - 1)
+        unit = jnp.stack([unflat(du), unflat(dv), unflat(dw)], axis=-1)
+        sph_uv = _sphere_uv(unit)
+        u = jnp.where(is_rect, unflat(du), sph_uv[..., 0])
+        v = jnp.where(is_rect, unflat(dv), sph_uv[..., 1])
+        col = _image_value(scene, tex_id, u, v)
+        radiance_out = radiance_out + jnp.where(
+            mask[:, None], state["beta"] * col, 0.0)
+
+    return dict(
+        o=jnp.stack([unflat(ox), unflat(oy), unflat(oz)], axis=-1),
+        d=jnp.stack([unflat(dx), unflat(dy), unflat(dz)], axis=-1),
+        time=state["time"],
+        beta=jnp.stack([unflat(bx), unflat(by), unflat(bz)], axis=-1),
+        radiance=radiance_out,
+        alive=unflat(alive_o) != 0,
+        salt=state["salt"],
+        depth=state["depth"] + 1,
+    )

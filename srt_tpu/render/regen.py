@@ -41,13 +41,23 @@ _DIM_LENS = 32
 _DIM_TIME = 34
 
 
+def _use_fused_bounce(flags, mode: str) -> bool:
+    # `mode` is a static jit argument (captured OUTSIDE the trace in
+    # render_regen): reading the env var inside the traced function would
+    # not retrace on change — the jit cache key must carry it.
+    from srt_tpu.pallas.bounce import fused_bounce_available
+    if mode == "off":
+        return False
+    return fused_bounce_available(flags, interpret=mode == "interpret")
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth",
                                    "rr_start", "wavefront", "flags",
-                                   "pdf_floor"))
+                                   "pdf_floor", "pallas_mode"))
 def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                   width: int, height: int, spp: int, max_depth: int,
                   rr_start: int, wavefront: int, flags=None,
-                  pdf_floor: float = 1e-9):
+                  pdf_floor: float = 1e-9, pallas_mode: str = "auto"):
     """Full image via one while_loop with lane regeneration -> (H*W, 3) sums."""
     n_pixels = width * height
     total_work = n_pixels * spp
@@ -114,12 +124,21 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         )
 
         # --- one bounce for the (now full) wavefront ---------------------
+        # Eligible scenes (SceneFlags.fused_bounce) run the whole bounce as
+        # ONE Pallas kernel (pallas/bounce.py) — same estimator, one launch
+        # instead of the launch-granularity-bound XLA fusion chain.
         was_alive = st["alive"]
-        nxt = bounce_step(
-            scene,
-            {k: st[k] for k in
-             ("o", "d", "time", "beta", "radiance", "alive", "salt", "depth")},
-            max_depth, rr_start, flags, pdf_floor)
+        substate = {k: st[k] for k in
+                    ("o", "d", "time", "beta", "radiance", "alive", "salt",
+                     "depth")}
+        if _use_fused_bounce(flags, pallas_mode):
+            from srt_tpu.pallas.bounce import fused_bounce
+            nxt = fused_bounce(scene, substate, max_depth, rr_start, flags,
+                               pdf_floor,
+                               interpret=pallas_mode == "interpret")
+        else:
+            nxt = bounce_step(scene, substate, max_depth, rr_start, flags,
+                              pdf_floor)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
         # --- flush finished paths into the image -------------------------
@@ -167,6 +186,8 @@ def render_regen(scene: Scene, camera: Camera, config,
 
     from srt_tpu.render.api import scene_flags
 
+    from srt_tpu.render.intersect import _pallas_mode
+
     wavefront = getattr(config, "wavefront", 1 << 17)
     t0 = _time.time()
     acc, n_vertices, nan_scrubbed = _render_regen(
@@ -174,7 +195,8 @@ def render_regen(scene: Scene, camera: Camera, config,
         width=w, height=h, spp=spp,
         max_depth=config.max_depth, rr_start=config.rr_start,
         wavefront=wavefront, flags=scene_flags(scene, config),
-        pdf_floor=getattr(config, "pdf_floor", 1e-9))
+        pdf_floor=getattr(config, "pdf_floor", 1e-9),
+        pallas_mode=_pallas_mode())
     img = (acc / spp).reshape(h, w, 3)
     if metrics:
         img.block_until_ready()

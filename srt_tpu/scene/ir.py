@@ -68,6 +68,12 @@ class SceneFlags(NamedTuple):
     mat_kinds: tuple
     bvh_leaf: int = 4   # widest triangle-BVH leaf (static traversal bound)
     sbvh_leaf: int = 4  # widest sphere-BVH leaf (independent of bvh_leaf)
+    # Static facts for the fused-bounce Pallas kernel (pallas/bounce.py):
+    # whether the scene qualifies, per-light kinds (so the kernel's light
+    # loop is branch-free), and whether any sphere actually moves.
+    fused_bounce: bool = False
+    light_kinds: tuple = ()
+    moving: bool = False
     # Reproduce the reference's *as-implemented* estimator instead of the
     # physically-correct one (for golden-image comparison against its
     # checked-in renders). Concretely (see materials.bsdf_weight/bsdf_pdf):
@@ -91,9 +97,62 @@ class SceneFlags(NamedTuple):
                 sleaf = int(np.asarray(scene.sbvh_count).max(initial=0)) or 4
         except Exception:
             return None
+        # The fused-bounce fields inspect *geometry* tables, which may be
+        # traced even when the type tables are concrete (e.g. optimizing a
+        # light position, diff/inverse.py:splice). Degrade per-field: an
+        # undeterminable scene just keeps the kernel off — it must NOT
+        # void the whole flags object (that would de-specialize the shader
+        # and re-introduce garbage-lane NaNs in gradients).
+        try:
+            light_kinds = tuple(np.asarray(scene.light_kind).tolist())
+            moving = bool((np.asarray(scene.sph_center0)
+                           != np.asarray(scene.sph_center1)).any())
+            fused = _fused_bounce_eligible(scene, mt, tt)
+        except Exception:
+            light_kinds, moving, fused = (), True, False
         return SceneFlags(tex_kinds=tuple(sorted(set(tt.tolist()))),
                           mat_kinds=tuple(sorted(set(mt.tolist()))),
-                          bvh_leaf=leaf, sbvh_leaf=sleaf)
+                          bvh_leaf=leaf, sbvh_leaf=sleaf,
+                          fused_bounce=fused, light_kinds=light_kinds,
+                          moving=moving)
+
+
+def _fused_bounce_eligible(scene, mat_types, tex_types) -> bool:
+    """Static gate for the fused per-bounce Pallas kernel.
+
+    The kernel (``pallas/bounce.py``) covers analytic-primitive scenes:
+    spheres + rects, the non-volumetric material families, constant/checker
+    textures in-kernel, and image textures only as *deferred emission*
+    (the atlas gather stays in XLA). Everything else falls back to the
+    XLA bounce.
+    """
+    import numpy as np
+    if scene.n_tris or scene.n_media or scene.merl.shape[0]:
+        return False
+    if scene.n_spheres + scene.n_rects == 0:
+        return False
+    if scene.n_spheres > 1024 or scene.n_rects > 64 or scene.n_lights > 8:
+        return False
+    if scene.mat_type.shape[0] > 512:
+        return False
+    if bool(np.asarray(scene.sph_env).any()):
+        return False  # env always-hit variant not in the kernel
+    allowed = {int(MaterialType.LAMBERTIAN), int(MaterialType.OREN_NAYAR),
+               int(MaterialType.BECKMANN), int(MaterialType.METAL),
+               int(MaterialType.DIELECTRIC), int(MaterialType.DIFFUSE_LIGHT)}
+    if not set(mat_types.tolist()) <= allowed:
+        return False
+    # Texture families per material: constant/checker anywhere; image only
+    # on emitters (deferred); Perlin marble not in-kernel.
+    mat_tex_types = tex_types[np.asarray(scene.mat_tex)]
+    scattering = mat_types != int(MaterialType.DIFFUSE_LIGHT)
+    ok_scatter = np.isin(mat_tex_types[scattering],
+                         [int(TextureType.CONSTANT),
+                          int(TextureType.CHECKER)]).all()
+    ok_light = np.isin(mat_tex_types[~scattering],
+                       [int(TextureType.CONSTANT), int(TextureType.CHECKER),
+                        int(TextureType.IMAGE)]).all()
+    return bool(ok_scatter and ok_light)
 
 
 def has_tex(flags, kind) -> bool:
