@@ -28,6 +28,8 @@ from srt_tpu.scene.ir import Scene
 
 _BIG = np.float32(3.0e38)
 _T_POS_MAX = np.float32(1.0e7)  # position-eval clamp; see miss-lane inf note
+_XLA_TRIS_MAX = 100_000  # lockstep-fallback refusal bound (TPU only);
+                         # ~139k tris reproducibly kills the TPU worker
 PRIM_CHUNK = 128  # static prims per vectorized brute-force block; 128 =
                   # one full VPU lane row per ray, and sphere-heavy scenes
                   # (final: 1001 spheres) unroll 4x fewer chunk blocks
@@ -414,6 +416,24 @@ def intersect_tris(scene: Scene, ray: Ray, t_min, t_max,
     n = ray.origin.shape[0]
     if scene.n_tris == 0:
         return Hit.none(n)
+
+    # Compiling/running this lockstep loop on meshes >= ~139k triangles
+    # crashes the TPU worker process outright (PERF.md: jadebunny with
+    # SRT_TPU_PALLAS=off — "TPU worker process crashed"), and recovery
+    # takes 5-15 minutes of downtime. A fallback that kills the chip is
+    # worse than no fallback: refuse with a clear error before dispatch.
+    # The two-level Pallas kernel (pallas/intersect_big.py) is the
+    # supported path at that scale; SRT_TPU_FORCE_XLA_TRIS=1 overrides
+    # for non-TPU debugging.
+    import os as _os
+    if (scene.n_tris > _XLA_TRIS_MAX
+            and jax.default_backend() == "tpu"
+            and _os.environ.get("SRT_TPU_FORCE_XLA_TRIS") != "1"):
+        raise RuntimeError(
+            f"XLA lockstep triangle traversal refused: {scene.n_tris} "
+            f"triangles > {_XLA_TRIS_MAX} crashes the TPU worker "
+            "(PERF.md). Use the Pallas path (SRT_TPU_PALLAS=auto) or set "
+            "SRT_TPU_FORCE_XLA_TRIS=1 to override at your own risk.")
 
     n_nodes = scene.n_bvh_nodes
     inv_d = 1.0 / jnp.where(jnp.abs(ray.direction) < 1e-20, 1e-20,

@@ -232,7 +232,70 @@ def patch_main(src: str) -> str:
         "\tif (argc > 5) sceneid = atoi(argv[5]);\n"
         "\toutfile.open(argc > 6 ? argv[6] : \"out.ppm\", ios_base::out);")
     assert "argc > 5" in src
-    # 3. Wire the dead-but-complete random_scene as sceneid 8.
+    # 3. Crash fixes (the reference as shipped cannot complete these
+    #    scenes on ANY platform — found with ASAN on this host; each fix
+    #    is the minimal correction of an out-and-out bug and none touch
+    #    the measured hot loop):
+    # 3a. ball_orennayar_scenes allocates hitable*[21] but writes 24
+    #     entries (3 rects/sky + 21 spheres) — heap overflow, SEGV.
+    src = src.replace("\thitable **list = new hitable*[21];",
+                      "\thitable **list = new hitable*[32];  "
+                      "// was [21]: 24 entries are written (overflow)")
+    assert "new hitable*[32]" in src
+    # 3b. flatnormal_bunny builds the bunny and the light list but never
+    #     adds the bunny to the scene nor assigns *hlist (uninitialized
+    #     pointer -> SEGV in color()).
+    src = src.replace(
+        "genhitablemodel(), bunny->gettrianglecount(), 0, 1), 180), "
+        "vec3(250, -70, 400));\n"
+        "\n"
+        "\t*scene = new hitable_list(list, i);\n"
+        "\n"
+        "\thitable* light_shape = new flip_normals("
+        "new xz_rect(203, 353, 17, 167, 800, 0));\n"
+        "\thitable** a = new hitable*[7];\n"
+        "\ta[0] = light_shape;\n"
+        "}",
+        "genhitablemodel(), bunny->gettrianglecount(), 0, 1), 180), "
+        "vec3(250, -70, 400));\n"
+        "\tlist[i++] = b;  // was dropped: the scene's namesake bunny\n"
+        "\n"
+        "\t*scene = new hitable_list(list, i);\n"
+        "\n"
+        "\thitable* light_shape = new flip_normals("
+        "new xz_rect(203, 353, 17, 167, 800, 0));\n"
+        "\thitable** a = new hitable*[7];\n"
+        "\ta[0] = light_shape;\n"
+        "\t*hlist = new hitable_list(a, 1);  // was never assigned (UB)\n"
+        "}")
+    assert "was never assigned" in src
+    # 3c. The PPM dump runs when the *claim* counter reaches the total,
+    #     while other threads are still rendering their claimed pixels —
+    #     reading colors[i] == nullptr (SEGV). Wait for completions.
+    src = src.replace("const int thread_count = 8;",
+                      "const int thread_count = 8;\n"
+                      "#include <atomic>\n"
+                      "std::atomic<int> donecount(0);")
+    src = src.replace("\t\tcolors[index][2] = ib;\n\t}",
+                      "\t\tcolors[index][2] = ib;\n\t\tdonecount++;\n\t}")
+    assert "donecount++" in src
+    src = src.replace(
+        "\tg_lock.lock();\n\tif (!isfinished)\n\t{\n\t\tisfinished = true;",
+        "\twhile (donecount.load() < nx * ny)\n"
+        "\t\tstd::this_thread::yield();\n"
+        "\tg_lock.lock();\n\tif (!isfinished)\n\t{\n\t\tisfinished = true;")
+    assert "donecount.load()" in src
+    # 3d. The claim loop tests finishedPixel OUTSIDE the lock
+    #     (Raytracing_n.cpp:817, the race SURVEY §5 documents): two
+    #     threads can pass the test at total-1 and one claims pixel
+    #     `total`, writing colors[] out of bounds. Re-check in the lock.
+    src = src.replace(
+        "\t\tg_lock.lock();\n\t\tint curpixel = finishedPixel++;\n",
+        "\t\tg_lock.lock();\n\t\tint curpixel = finishedPixel++;\n"
+        "\t\tif (curpixel >= nx * ny) { g_lock.unlock(); break; }"
+        "  // claim raced past the end\n")
+    assert "claim raced" in src
+    # 4. Wire the dead-but-complete random_scene as sceneid 8.
     src = src.replace(
         "\t\tflatnormal_bunny(&world, &cam, &hlist, float(nx) / float(ny));\n"
         "\tdefault:",
