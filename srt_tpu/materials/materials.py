@@ -228,12 +228,20 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world, flags=None):
     ax = floor_clamp(params[..., 0], 1e-4)
     ay = floor_clamp(params[..., 1], 1e-4)
     if parity:
-        # beckmann_pdf::generate stores D*G/(4 cosI cosO) as "the pdf"
-        # (pdf.h:133-140) — the BRDF shape, not the sampling density. We
-        # evaluate it at the actual wi (the reference replays a stale
-        # malloc'd float when the light branch generated the direction —
-        # undefined behavior we do not reproduce).
-        beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
+        # beckmann_pdf::generate stores *pdf_value = D(wh) *
+        # G(wo_WORLD, wi_LOCAL) / (4 cosI cosO) (pdf.h:144) — note the
+        # mixed frames: G's first argument is the raw world-space
+        # incoming direction r.direction(), whose z *world* component is
+        # treated as cos(theta). Reproduced verbatim. This value is what
+        # the mixture reads on the BSDF branch (where wi == the sampled
+        # reflect(wo, wh), so evaluating at the actual wi is exact); the
+        # light branch instead reads the heap-recycled *previous* bounce's
+        # value — see the ``stale`` plumbing in the integrator.
+        from srt_tpu.materials.microfacet import beckmann_lambda
+        lam_world = beckmann_lambda(ray_dir, ax, ay)
+        lam_i = beckmann_lambda(wi, ax, ay)
+        g_mixed = 1.0 / (1.0 + lam_world + lam_i)
+        beck = (beckmann_d(wh, ax, ay) * g_mixed
                 / jnp.maximum(4.0 * frame.abs_cos_theta(wi)
                               * frame.abs_cos_theta(wo), 1e-8))
     else:

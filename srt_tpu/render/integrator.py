@@ -215,9 +215,20 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         t_mat = scene.mat_type[hit.mat]
         light_only = ((t_mat == MT.LAMBERTIAN)
                       | (t_mat == MT.OREN_NAYAR))
+        is_beck = t_mat == MT.BECKMANN
+        # beckmann_pdf is STATEFUL through the heap: generate() writes
+        # *pdf_value (a fresh 4-byte malloc), value() reads it, and
+        # color() deletes the object every bounce (Raytracing_n.cpp:94)
+        # so glibc's tcache hands the NEXT beckmann bounce the same
+        # chunk. Net as-implemented behavior: on the light branch the
+        # mixture's Beckmann term is the pdf stored by the *previous*
+        # Beckmann BSDF draw of the same thread (0.0 for a fresh page).
+        # Our persistent lane is the thread analogue: ``stale`` carries
+        # that value; BSDF-branch draws (including retries) refresh it.
+        stale = state.get("stale", jnp.zeros_like(r.time))
 
-    def draw(dim_mix, dim_pick, dim_s):
-        """One mixture draw -> (wi, pdf). Fresh dims per retry round."""
+    def draw(dim_mix, dim_pick, dim_s, stale_in=None):
+        """One mixture draw -> (wi, pdf, stale'). Fresh dims per round."""
         u1 = s.uniform(dim_s)
         u2 = s.uniform(dim_s + 1)
         # Mixed attached/detached sampling: the BSDF lobe is detached
@@ -238,27 +249,46 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
             if parity:
                 pick_light = pick_light | light_only
             wi = where3(pick_light, light_dir, bsdf_dir)
-            pdf = (0.5 * lights.lights_pdf(scene, hit.p, wi)
-                   + 0.5 * mats.bsdf_pdf(scene, hit.mat, hit.normal,
-                                         r.direction, wi, flags))
+            bpdf = mats.bsdf_pdf(scene, hit.mat, hit.normal,
+                                 r.direction, wi, flags)
+            if parity and stale_in is not None:
+                # At the sampled direction bpdf equals the stored
+                # *pdf_value; light-branch Beckmann lanes read the stale
+                # heap value instead (see above). Evaluate bpdf at the
+                # BSDF direction for the stale refresh even on light
+                # lanes — the reference's generate() is only skipped on
+                # the light branch, so only BSDF draws refresh.
+                bpdf_at_sample = mats.bsdf_pdf(scene, hit.mat, hit.normal,
+                                               r.direction, bsdf_dir, flags)
+                took_bsdf = is_beck & ~pick_light
+                stale_out = jnp.where(took_bsdf, bpdf_at_sample, stale_in)
+                bpdf = jnp.where(is_beck & pick_light, stale_in, bpdf)
+            else:
+                stale_out = stale_in
+            pdf = 0.5 * lights.lights_pdf(scene, hit.p, wi) + 0.5 * bpdf
         else:
             wi = bsdf_dir
             pdf = mats.bsdf_pdf(scene, hit.mat, hit.normal, r.direction,
                                 wi, flags)
-        return wi, pdf
+            stale_out = stale_in
+        return wi, pdf, stale_out
 
-    wi, pdf = draw(_DIM_MIX, _DIM_LIGHT_PICK, _DIM_SAMPLE)
+    wi, pdf, stale_new = draw(_DIM_MIX, _DIM_LIGHT_PICK, _DIM_SAMPLE,
+                              stale if parity else None)
     if parity:
         # Emulate the reference's unbounded while(pdf==0) retry
         # (Raytracing_n.cpp:79-83) with a bounded resample: rounds
         # re-draw branch + sample for still-zero lanes (residual
         # probability of all rounds failing is ~(p_fail)^K, negligible).
         for rnd in range(_PARITY_RETRIES):
-            wi2, pdf2 = draw(_DIM_RETRY + 4 * rnd, _DIM_RETRY + 4 * rnd + 1,
-                             _DIM_RETRY + 4 * rnd + 2)
             need = pdf <= 0.0
+            wi2, pdf2, stale2 = draw(_DIM_RETRY + 4 * rnd,
+                                     _DIM_RETRY + 4 * rnd + 1,
+                                     _DIM_RETRY + 4 * rnd + 2, stale_new)
             wi = where3(need, wi2, wi)
             pdf = jnp.where(need, pdf2, pdf)
+            # retried lanes' generate() calls also refresh the heap slot
+            stale_new = jnp.where(need, stale2, stale_new)
     weight = mats.bsdf_weight(scene, hit.mat, hit.uv, hit.p, hit.normal,
                               r.direction, wi, flags)
     # Below-floor pdfs contribute zero (the reference instead retries,
@@ -285,7 +315,7 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         new_beta = jnp.where((do_rr & new_alive)[:, None],
                              new_beta / q[:, None], new_beta)
 
-    return dict(
+    out = dict(
         o=where3(alive & scatters, hit.p, state["o"]),
         d=where3(alive & scatters, new_dir, state["d"]),
         time=state["time"],
@@ -295,6 +325,9 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         salt=state["salt"],
         depth=depth + 1,
     )
+    if parity:
+        out["stale"] = stale_new
+    return out
 
 
 def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
@@ -323,6 +356,9 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
         salt=sampler.salt,
         depth=np.zeros((n,), np.int32),
     )
+    if flags is not None and flags.ref_parity:
+        # the heap-recycled beckmann_pdf slot (see bounce_step parity)
+        state["stale"] = np.zeros((n,), np.float32)
 
     def bounce(state, _):
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))

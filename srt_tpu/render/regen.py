@@ -76,6 +76,7 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                            sampler.uniform(_DIM_TIME))
         return rays, sampler.salt
 
+    parity = flags is not None and flags.ref_parity
     zeros3 = jnp.zeros((n, 3), jnp.float32)
     state = dict(
         cursor=jnp.int32(0),
@@ -91,6 +92,11 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         salt=jnp.zeros((n,), jnp.uint32),
         depth=jnp.zeros((n,), jnp.int32),
     )
+    if parity:
+        # heap-recycled beckmann_pdf slot (integrator parity): persists
+        # across regeneration, like the reference's per-thread heap slot
+        # persists across pixels.
+        state["stale"] = jnp.zeros((n,), jnp.float32)
 
     def cond(st):
         return (st["cursor"] < total_work) | jnp.any(st["alive"])
@@ -106,6 +112,7 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         pix = jnp.where(take, wid // spp, st["pix"])
         samp = jnp.where(take, wid % spp, st["samp"])
         rays, salt = camera_rays(pix, samp)
+        state_stale = st.get("stale")
         st = dict(
             cursor=st["cursor"] + jnp.sum(take.astype(jnp.int32)),
             n_vertices=st["n_vertices"],
@@ -122,15 +129,17 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
             salt=jnp.where(take, salt, st["salt"]),
             depth=jnp.where(take, 0, st["depth"]),
         )
+        if parity:
+            st["stale"] = state_stale
 
         # --- one bounce for the (now full) wavefront ---------------------
         # Eligible scenes (SceneFlags.fused_bounce) run the whole bounce as
         # ONE Pallas kernel (pallas/bounce.py) — same estimator, one launch
         # instead of the launch-granularity-bound XLA fusion chain.
         was_alive = st["alive"]
-        substate = {k: st[k] for k in
-                    ("o", "d", "time", "beta", "radiance", "alive", "salt",
-                     "depth")}
+        subkeys = ("o", "d", "time", "beta", "radiance", "alive", "salt",
+                   "depth") + (("stale",) if parity else ())
+        substate = {k: st[k] for k in subkeys}
         if _use_fused_bounce(flags, pallas_mode):
             from srt_tpu.pallas.bounce import fused_bounce
             nxt = fused_bounce(scene, substate, max_depth, rr_start, flags,
@@ -149,16 +158,19 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         contrib = jnp.where(is_nan, 0.0, contrib)
         acc = st["acc"].at[st["pix"]].add(contrib)
 
-        return dict(cursor=st["cursor"],
-                    n_vertices=st["n_vertices"]
-                    + jnp.sum(was_alive, dtype=jnp.uint32),
-                    nan_scrubbed=st["nan_scrubbed"]
-                    + jnp.sum(is_nan, dtype=jnp.uint32),
-                    acc=acc, pix=st["pix"],
-                    samp=st["samp"], o=nxt["o"], d=nxt["d"],
-                    time=nxt["time"], beta=nxt["beta"],
-                    radiance=nxt["radiance"], alive=alive,
-                    salt=nxt["salt"], depth=nxt["depth"])
+        out = dict(cursor=st["cursor"],
+                   n_vertices=st["n_vertices"]
+                   + jnp.sum(was_alive, dtype=jnp.uint32),
+                   nan_scrubbed=st["nan_scrubbed"]
+                   + jnp.sum(is_nan, dtype=jnp.uint32),
+                   acc=acc, pix=st["pix"],
+                   samp=st["samp"], o=nxt["o"], d=nxt["d"],
+                   time=nxt["time"], beta=nxt["beta"],
+                   radiance=nxt["radiance"], alive=alive,
+                   salt=nxt["salt"], depth=nxt["depth"])
+        if parity:
+            out["stale"] = nxt["stale"]
+        return out
 
     state = jax.lax.while_loop(cond, body, state)
     return state["acc"], state["n_vertices"], state["nan_scrubbed"]

@@ -51,6 +51,7 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     n = rays.origin.shape[0]
     m = min(wavefront, n)
 
+    parity = flags is not None and flags.ref_parity
     zeros3 = jnp.zeros((m, 3), jnp.float32)
     state = dict(
         cursor=jnp.int32(0),
@@ -62,9 +63,12 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
         salt=jnp.zeros((m,), jnp.uint32),
         depth=jnp.zeros((m,), jnp.int32),
     )
+    if parity:
+        state["stale"] = jnp.zeros((m,), jnp.float32)
 
     def step(st, _):
         # --- regenerate dead lanes from the queue (regen.py:88-114) ------
+        prev_stale = st.get("stale")
         need = ~st["alive"]
         k = jnp.cumsum(need.astype(jnp.int32))
         wid = st["cursor"] + k - 1
@@ -84,15 +88,16 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
             salt=jnp.where(take, salts[src], st["salt"]),
             depth=jnp.where(take, 0, st["depth"]),
         )
+        if parity:
+            st["stale"] = prev_stale
         started_ids = jnp.where(take, src, n)  # n = no-op slot
 
         # --- one bounce ---------------------------------------------------
         was_alive = st["alive"]
-        nxt = bounce_step(
-            scene,
-            {k2: st[k2] for k2 in ("o", "d", "time", "beta", "radiance",
-                                   "alive", "salt", "depth")},
-            max_depth, rr_start, flags, pdf_floor)
+        subkeys = ("o", "d", "time", "beta", "radiance", "alive", "salt",
+                   "depth") + (("stale",) if parity else ())
+        nxt = bounce_step(scene, {k2: st[k2] for k2 in subkeys},
+                          max_depth, rr_start, flags, pdf_floor)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
         # --- emit finished paths as stacked scan outputs -----------------
@@ -107,6 +112,8 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                       d=nxt["d"], time=nxt["time"], beta=nxt["beta"],
                       radiance=nxt["radiance"], alive=alive,
                       salt=nxt["salt"], depth=nxt["depth"])
+        if parity:
+            new_st["stale"] = nxt["stale"]
         return new_st, (st["rid"], contrib, started_ids)
 
     body = jax.checkpoint(step) if checkpoint else step

@@ -118,8 +118,15 @@ inline model::model(const std::string& filename, bool flipUVs,
 {
     std::string path = model_resolve_path(filename);
     std::ifstream f(path.c_str());
-    if (!f) {  // missing asset (e.g. LFS-stripped dragon.ply): 0 triangles
-        std::cerr << "model: cannot open " << path << " (skipping)\n";
+    if (!f) {
+        // Missing asset (e.g. the LFS-stripped dragon.ply). An empty
+        // model would send bvh_node(l, 0, ...) into infinite recursion
+        // (bvh.h:111-113 has no n==0 case), so stand in one degenerate
+        // zero-area triangle that can never be hit.
+        std::cerr << "model: cannot open " << path
+                  << " (degenerate stand-in)\n";
+        vec3 z(0, 0, 0);
+        tris_.push_back(new triangle(z, z, z, mat, z, z, z, z, z, z));
         return;
     }
     std::string line, word;
@@ -380,6 +387,19 @@ def setup(force: bool = False) -> None:
         src = src.replace(old, new)
     with open(mathf, "w") as f:
         f.write(src)
+    # teapot.h: `triangleCount` is an uninitialized member accumulated
+    # with += (teapot.h:91,136) — garbage on entry, then
+    # `new hitable*[triangleCount]` throws/crashes. Zero-init it.
+    tpath = os.path.join(BUILD, "teapot.h")
+    with open(tpath) as f:
+        tsrc = f.read()
+    tsrc = tsrc.replace(
+        "teapot(float scale, material *mat) : scale(scale), mat(mat) {}",
+        "teapot(float scale, material *mat) : scale(scale), mat(mat), "
+        "triangleCount(0) {}  // was uninitialized before +=")
+    assert "triangleCount(0)" in tsrc
+    with open(tpath, "w") as f:
+        f.write(tsrc)
     # geometry.h is assimp-typed (aiMesh) and reached via
     # microfacet_distribution.h's stray include; nothing uses the class
     # once model.h is replaced, so stub it out.
