@@ -32,6 +32,26 @@ def erf_as(x):
     return s * y
 
 
+def erf_reference_buggy(x):
+    """The reference's Erf *as implemented* (``common.h:40-44``) — NOT erf.
+
+    The A&S 7.1.26 evaluation contains a typo: the final term reads
+    ``1 - poly(t)*t + exp(-x*x)`` — the exponential is ADDED instead of
+    multiplying the polynomial. Result: Erf(0) ~= 1.00004, Erf(0.29)
+    ~= 1.178, monotone up to ~2 at x~1.6. This broken curve is the
+    bisection bound and CDF normalization of the reference's Beckmann
+    VNDF inversion (microfacet_distribution.h:55-71), so it *shapes
+    every Beckmann highlight* the reference renders; ref-parity sampling
+    must use it (physically-correct mode uses :func:`erf_as`).
+    """
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly_t = (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+               - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly_t + jnp.exp(-ax * ax))
+
+
 def erfinv_giles(x):
     """Giles (2010) single-precision erfinv (reference ``common.h:47-78``)."""
     x = jnp.clip(x, -0.99999, 0.99999)

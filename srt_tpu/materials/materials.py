@@ -194,7 +194,8 @@ def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2, flags=None):
         wo = basis.to_local(-ray_dir)
         ax = floor_clamp(params[..., 0], 1e-4)
         ay = floor_clamp(params[..., 1], 1e-4)
-        wh = sample_wh_visible(wo, ax, ay, u1, u2)
+        parity = flags is not None and flags.ref_parity
+        wh = sample_wh_visible(wo, ax, ay, u1, u2, ref_parity=parity)
         beck_wi = frame.local_reflect(wo, wh)
         wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
 

@@ -19,7 +19,8 @@ from srt_tpu.core import frame
 # (common.h:26-78), not libm; using the same shared fits here keeps the
 # XLA path and the fused Pallas kernel (which cannot lower lax.erf)
 # sample-stream-aligned. See core/approx.py.
-from srt_tpu.core.approx import acos_as, erf_as, erfinv_giles as erfinv
+from srt_tpu.core.approx import (acos_as, erf_as, erf_reference_buggy,
+                                 erfinv_giles as erfinv)
 
 _SQRT_PI_INV = 0.5641895835477563
 
@@ -70,63 +71,75 @@ def g(wo, wi, alphax, alphay):
                   + beckmann_lambda(wi, alphax, alphay))
 
 
-def _beckmann_sample11(cos_theta_i, u1, u2):
+def _beckmann_sample11(cos_theta_i, u1, u2, ref_parity: bool = False):
     """Sample P22 slopes for normal-incidence-stretched wi.
 
-    Fixed-iteration version of microfacet_distribution.h:34-107.
+    Exact masked-lane transcription of ``BeckmannSample11``
+    (microfacet_distribution.h:34-107): up to 9 Newton-bisection steps
+    in the Erf domain with the reference's |value| < 1e-5 early-out
+    (lanes FREEZE once converged — the reference breaks before the
+    bounds update), and NO extra clipping of ``b``: its ErfInv already
+    clamps at +-0.99999 (common.h:49), so diverged hard lanes saturate
+    to ErfInv(0.99999) exactly as the reference's do. (Round-4 finding:
+    our earlier +-0.9999 clip and free-running iterations produced a
+    visibly different highlight lobe on every Beckmann sphere —
+    concentric +-rings against the fresh C++ golden.)
     """
-    u1 = jnp.maximum(u1, 1e-6)
     # Normal-incidence special case (cosThetaI > .9999).
-    r = jnp.sqrt(-jnp.log1p(-u1))
+    r = jnp.sqrt(-jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)))
     phi = 2.0 * jnp.pi * u2
     sx_normal = r * jnp.cos(phi)
     sy_normal = r * jnp.sin(phi)
 
     cos_t = jnp.clip(cos_theta_i, -1.0, 1.0)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    tan_t = sin_t / jnp.maximum(cos_t, 1e-6)
-    cot_t = 1.0 / jnp.maximum(tan_t, 1e-6)
+    tan_t = sin_t / jnp.maximum(cos_t, 1e-20)
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-20)
 
     a = jnp.full_like(u1, -1.0)
-    c = erf_as(cos_t)
-    sample_x = u1
+    # ref_parity: the reference's Erf is NOT erf — a typo adds the
+    # exponential instead of multiplying (core/approx.py:
+    # erf_reference_buggy), inflating the bisection bound c above 1 and
+    # visibly reshaping every Beckmann lobe. Golden parity must
+    # reproduce it; the physically-correct estimator uses real erf.
+    c = (erf_reference_buggy if ref_parity else erf_as)(cos_t)
+    sample_x = jnp.maximum(u1, 1e-6)
 
     theta_i = acos_as(jnp.clip(cos_t, -0.999999, 0.999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
-    b = c - (1.0 + c) * jnp.power(1.0 - sample_x, fit)
+    b = c - (1.0 + c) * jnp.exp(
+        fit * jnp.log(jnp.maximum(1.0 - sample_x, 1e-30)))
 
     normalization = 1.0 / (1.0 + c + _SQRT_PI_INV * tan_t
                            * jnp.exp(-cot_t * cot_t))
 
-    def body(_, carry):
-        a, b, c = carry
-        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
-        inv_erf = erfinv(jnp.clip(b, -0.9999, 0.9999))
+    done = jnp.zeros_like(u1, bool)
+    for _ in range(9):                       # while (++it < 10)
+        b = jnp.where(done | ((b >= a) & (b <= c)), b, 0.5 * (a + c))
+        inv_erf = erfinv(b)
         value = (normalization
-                 * (1.0 + b + _SQRT_PI_INV * tan_t * jnp.exp(-inv_erf * inv_erf))
+                 * (1.0 + b
+                    + _SQRT_PI_INV * tan_t * jnp.exp(-inv_erf * inv_erf))
                  - sample_x)
         derivative = normalization * (1.0 - inv_erf * tan_t)
-        c = jnp.where(value > 0.0, b, c)
-        a = jnp.where(value > 0.0, a, b)
-        b = b - value / jnp.where(jnp.abs(derivative) < 1e-10,
-                                  jnp.sign(derivative) * 1e-10 + 1e-20,
-                                  derivative)
-        return a, b, c
-
-    # 10 iterations: the reference caps at 10 with an early-out; full
-    # convergence also minimizes cross-backend (XLA vs Mosaic) divergence
-    # of the root under ulp-level erf/exp differences.
-    a, b, c = jax.lax.fori_loop(0, 10, body, (a, b, c))
-    slope_x = erfinv(jnp.clip(b, -0.9999, 0.9999))
-    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
-                              -0.9999, 0.9999))
+        upd = ~done & (jnp.abs(value) >= 1e-5)
+        c = jnp.where(upd & (value > 0.0), b, c)
+        a = jnp.where(upd & (value <= 0.0), b, a)
+        step = value / jnp.where(jnp.abs(derivative) < 1e-20,
+                                 jnp.sign(derivative) * 1e-20 + 1e-30,
+                                 derivative)
+        b = jnp.where(upd, b - step, b)
+        done = done | (jnp.abs(value) < 1e-5)
+    slope_x = erfinv(b)
+    slope_y = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
 
     normal_inc = cos_theta_i > 0.9999
     return (jnp.where(normal_inc, sx_normal, slope_x),
             jnp.where(normal_inc, sy_normal, slope_y))
 
 
-def sample_wh_visible(wo, alphax, alphay, u1, u2):
+def sample_wh_visible(wo, alphax, alphay, u1, u2,
+                      ref_parity: bool = False):
     """Visible-normal Beckmann sampling (microfacet_distribution.h:12-32,
     203-210): stretch, sample P22 slopes, rotate, unstretch, renormalize."""
     flip = wo[..., 2] < 0.0
@@ -137,7 +150,8 @@ def sample_wh_visible(wo, alphax, alphay, u1, u2):
     stretched = stretched / jnp.maximum(
         jnp.linalg.norm(stretched, axis=-1, keepdims=True), 1e-20)
 
-    sx, sy = _beckmann_sample11(frame.cos_theta(stretched), u1, u2)
+    sx, sy = _beckmann_sample11(frame.cos_theta(stretched), u1, u2,
+                                ref_parity=ref_parity)
     cp, sp = frame.cos_phi(stretched), frame.sin_phi(stretched)
     tmp = cp * sx - sp * sy
     sy = sp * sx + cp * sy

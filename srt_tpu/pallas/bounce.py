@@ -221,45 +221,47 @@ def _beckmann_lambda(w, ax, ay):
 
 
 def _beckmann_sample11(cos_t_i, u1, u2):
-    """Fixed 6-step Newton-bisection P22 slope sampling
-    (materials/microfacet.py:_beckmann_sample11)."""
-    erf = _erf_poly
+    """Exact transcription of BeckmannSample11 (see
+    materials/microfacet.py:_beckmann_sample11 — keep both in lockstep)."""
     erfinv = _erfinv
-    u1 = jnp.maximum(u1, 1e-6)
-    r = jnp.sqrt(-jnp.log1p(-u1))
+    r = jnp.sqrt(-jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)))
     phi = 2.0 * np.float32(np.pi) * u2
     sx_normal = r * jnp.cos(phi)
     sy_normal = r * jnp.sin(phi)
 
     cos_t = jnp.clip(cos_t_i, -1.0, 1.0)
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-    tan_t = sin_t / jnp.maximum(cos_t, 1e-6)
-    cot_t = 1.0 / jnp.maximum(tan_t, 1e-6)
+    tan_t = sin_t / jnp.maximum(cos_t, 1e-20)
+    cot_t = 1.0 / jnp.maximum(tan_t, 1e-20)
 
     a = jnp.full_like(u1, -1.0)
-    c = erf(cos_t)
-    sample_x = u1
+    c = _erf_poly(cos_t)
+    sample_x = jnp.maximum(u1, 1e-6)
     theta_i = _acos_poly(jnp.clip(cos_t, -0.999999, 0.999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
-    b = c - (1.0 + c) * jnp.exp(fit * jnp.log(jnp.maximum(1.0 - sample_x,
-                                                          1e-30)))
+    b = c - (1.0 + c) * jnp.exp(
+        fit * jnp.log(jnp.maximum(1.0 - sample_x, 1e-30)))
     normalization = 1.0 / (1.0 + c + _SQRT_PI_INV * tan_t
                            * jnp.exp(-cot_t * cot_t))
-    for _ in range(10):
-        b = jnp.where((b >= a) & (b <= c), b, 0.5 * (a + c))
-        inv_erf = erfinv(jnp.clip(b, -0.9999, 0.9999))
+    done = jnp.zeros_like(u1, bool)
+    for _ in range(9):                       # while (++it < 10)
+        b = jnp.where(done | ((b >= a) & (b <= c)), b, 0.5 * (a + c))
+        inv_erf = erfinv(b)
         value = (normalization
-                 * (1.0 + b + _SQRT_PI_INV * tan_t
-                    * jnp.exp(-inv_erf * inv_erf)) - sample_x)
+                 * (1.0 + b
+                    + _SQRT_PI_INV * tan_t * jnp.exp(-inv_erf * inv_erf))
+                 - sample_x)
         derivative = normalization * (1.0 - inv_erf * tan_t)
-        c = jnp.where(value > 0.0, b, c)
-        a = jnp.where(value > 0.0, a, b)
-        b = b - value / jnp.where(jnp.abs(derivative) < 1e-10,
-                                  jnp.sign(derivative) * 1e-10 + 1e-20,
-                                  derivative)
-    slope_x = erfinv(jnp.clip(b, -0.9999, 0.9999))
-    slope_y = erfinv(jnp.clip(2.0 * jnp.maximum(u2, 1e-6) - 1.0,
-                              -0.9999, 0.9999))
+        upd = ~done & (jnp.abs(value) >= 1e-5)
+        c = jnp.where(upd & (value > 0.0), b, c)
+        a = jnp.where(upd & (value <= 0.0), b, a)
+        step = value / jnp.where(jnp.abs(derivative) < 1e-20,
+                                 jnp.sign(derivative) * 1e-20 + 1e-30,
+                                 derivative)
+        b = jnp.where(upd, b - step, b)
+        done = done | (jnp.abs(value) < 1e-5)
+    slope_x = erfinv(b)
+    slope_y = erfinv(2.0 * jnp.maximum(u2, 1e-6) - 1.0)
     normal_inc = cos_t_i > 0.9999
     return (jnp.where(normal_inc, sx_normal, slope_x),
             jnp.where(normal_inc, sy_normal, slope_y))
