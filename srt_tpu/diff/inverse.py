@@ -47,7 +47,8 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
                   spp: int, max_depth: int, seed, engine: str = "regen",
                   wavefront: int = 1 << 13,
                   depth_budget: float = 4.0,
-                  drain: int | None = 12) -> jnp.ndarray:
+                  drain: int | None = 12,
+                  unroll: int = 1) -> jnp.ndarray:
     """Mean radiance per pixel (P, 3), fully traceable/differentiable.
 
     Unlike the forward-path :func:`srt_tpu.render.api.render`, the pixel
@@ -88,7 +89,7 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
                           drain=drain)
         radiance, _ = trace_queue(scene, rays, sampler.salt, n_steps=steps,
                                   wavefront=wavefront, max_depth=max_depth,
-                                  flags=flags)
+                                  flags=flags, unroll=unroll)
     else:
         radiance = trace(scene, rays, sampler, max_depth=max_depth,
                          rr_start=1 << 30, flags=flags)

@@ -37,10 +37,11 @@ from srt_tpu.scene.ir import Scene
 
 @partial(jax.jit, static_argnames=("n_steps", "wavefront", "max_depth",
                                    "rr_start", "flags", "pdf_floor",
-                                   "checkpoint"))
+                                   "checkpoint", "unroll"))
 def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                 wavefront: int, max_depth: int, rr_start: int = 1 << 30,
-                flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True):
+                flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True,
+                unroll: int = 1):
     """Trace a queue of N primary rays -> ((N, 3) radiance, (N,) finished).
 
     ``finished`` is 1.0 for rays whose path terminated naturally inside the
@@ -66,7 +67,7 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     if parity:
         state["stale"] = jnp.zeros((m,), jnp.float32)
 
-    def step(st, _):
+    def substep(st):
         # --- regenerate dead lanes from the queue (regen.py:88-114) ------
         prev_stale = st.get("stale")
         need = ~st["alive"]
@@ -116,9 +117,23 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
             new_st["stale"] = nxt["stale"]
         return new_st, (st["rid"], contrib, started_ids)
 
+    def step(st, _):
+        # ``unroll`` bounces per scanned (and checkpointed) step: the
+        # per-step fixed overhead and the checkpoint state save amortize
+        # over K bounces at the cost of K recomputed bounces in the
+        # backward pass (recompute is forward-cost, cheap next to the
+        # saved-state traffic at small wavefronts).
+        outs = []
+        for _k in range(unroll):
+            st, out = substep(st)
+            outs.append(out)
+        stacked = jax.tree.map(lambda *x: jnp.stack(x), *outs)
+        return st, stacked
+
     body = jax.checkpoint(step) if checkpoint else step
+    n_outer = -(-n_steps // unroll)
     state, (rids, contribs, started_ids) = jax.lax.scan(
-        body, state, None, length=n_steps)
+        body, state, None, length=n_outer)
 
     # Budget-exhausted lanes: flush their truncated partial radiance.
     tail = jnp.where(state["alive"][:, None], state["radiance"], 0.0)

@@ -34,6 +34,9 @@ def main() -> None:
     ap.add_argument("--wavefront", type=int, default=1 << 13)
     ap.add_argument("--depth-budget", type=float, default=4.0)
     ap.add_argument("--drain", type=int, default=12)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="bounces per checkpointed scan step "
+                         "(regen engine)")
     args = ap.parse_args()
 
     from srt_tpu.utils.cache import enable as enable_cache
@@ -60,7 +63,8 @@ def main() -> None:
         params = {"tex_color": scene.tex_color}
         opt_state = optimizer.init(params)
         ekw = (dict(wavefront=args.wavefront,
-                    depth_budget=args.depth_budget, drain=args.drain)
+                    depth_budget=args.depth_budget, drain=args.drain,
+                    unroll=args.unroll)
                if engine == "regen" else None)
         step = make_train_step(scene, camera, optimizer, width=w, height=w,
                                spp=args.spp, max_depth=args.max_depth,
