@@ -310,15 +310,22 @@ def _sphere_uv(unit):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
-            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref,
-            bx_ref, by_ref, bz_ref, rx_ref, ry_ref, rz_ref,
-            salt_ref, depth_ref, alive_ref,
-            oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
-            alive_o, dtex_o, du_o, dv_o, dw_o,
-            *, n_sph: int, n_rect: int, n_mat: int, light_kinds: tuple,
+def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
+            n_sph: int, n_rect: int, n_mat: int, n_media: int,
+            has_ext: bool, light_kinds: tuple,
             mat_kinds: tuple, tex_kinds: tuple, moving: bool,
             max_depth: int, rr_start: int, pdf_floor: float):
+    # operand unpacking: optional external-hit planes precede the state
+    i = 0
+    if has_ext:
+        (ext_t_ref, ext_nx_ref, ext_ny_ref, ext_nz_ref, ext_u_ref,
+         ext_v_ref, ext_mat_ref) = rest[:7]
+        i = 7
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref,
+     bx_ref, by_ref, bz_ref, rx_ref, ry_ref, rz_ref,
+     salt_ref, depth_ref, alive_ref,
+     oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
+     alive_o, dtex_o, du_o, dv_o, dw_o) = rest[i:]
     f32 = jnp.float32
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -333,7 +340,8 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
     has_on = has(MaterialType.OREN_NAYAR)
     has_metal = has(MaterialType.METAL)
     has_diel = has(MaterialType.DIELECTRIC)
-    any_specular = has_metal or has_diel
+    has_iso = has(MaterialType.ISOTROPIC)
+    any_specular = has_metal or has_diel or has_iso
     has_checker = int(TextureType.CHECKER) in tex_kinds
     time = time_ref[:] if moving else None
 
@@ -421,6 +429,67 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
             0, n_rect, rect_body,
             (t_best, w_nx, w_ny, w_nz, w_u, w_v, w_mat, w_is_rect))
 
+    # --- external hit (triangles, intersected by the Pallas BVH kernels
+    # in XLA land): behaves like a rect lane — normal/uv/mat given -------
+    if has_ext:
+        et = ext_t_ref[:]
+        eb = et < t_best
+        t_best = jnp.where(eb, et, t_best)
+        w_nx = jnp.where(eb, ext_nx_ref[:], w_nx)
+        w_ny = jnp.where(eb, ext_ny_ref[:], w_ny)
+        w_nz = jnp.where(eb, ext_nz_ref[:], w_nz)
+        w_u = jnp.where(eb, ext_u_ref[:], w_u)
+        w_v = jnp.where(eb, ext_v_ref[:], w_v)
+        w_mat = jnp.where(eb, ext_mat_ref[:], w_mat)
+        w_is_rect = jnp.where(eb, 1.0, w_is_rect)
+
+    # --- participating media (integrator._apply_media, sphere/box
+    # analytic): a nearer stochastic in-scatter event overrides the hit.
+    for m in range(n_media):
+        kind = med_ref[m, 0]
+        cen = (med_ref[m, 1], med_ref[m, 2], med_ref[m, 3])
+        rad = med_ref[m, 4]
+        half = (med_ref[m, 5], med_ref[m, 6], med_ref[m, 7])
+        dens = med_ref[m, 8]
+        oc = _sub3(o, cen)
+        bq = _dot3(oc, d)
+        cq = _dot3(oc, oc) - rad * rad
+        disc = bq * bq - cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        s_in, s_out = -bq - sq, -bq + sq
+        s_ok = disc > 0.0
+        inv = tuple(1.0 / jnp.where(jnp.abs(dc) < 1e-20, 1e-20, dc)
+                    for dc in d)
+        tt0 = tuple((-h - c_) * iv for h, c_, iv in zip(half, oc, inv))
+        tt1 = tuple((h - c_) * iv for h, c_, iv in zip(half, oc, inv))
+        b_in = jnp.maximum(jnp.maximum(jnp.minimum(tt0[0], tt1[0]),
+                                       jnp.minimum(tt0[1], tt1[1])),
+                           jnp.minimum(tt0[2], tt1[2]))
+        b_out = jnp.minimum(jnp.minimum(jnp.maximum(tt0[0], tt1[0]),
+                                        jnp.maximum(tt0[1], tt1[1])),
+                            jnp.maximum(tt0[2], tt1[2]))
+        is_box = kind == 1.0
+        t_in = jnp.where(is_box, b_in, s_in)
+        t_out = jnp.where(is_box, b_out, s_out)
+        # boolean algebra, not select: Mosaic cannot legalize an
+        # arith.select over i1 vectors
+        ok_m = (is_box & (b_out > b_in)) | (~is_box & s_ok)
+        t_enter = jnp.maximum(t_in, 0.0)
+        t_exit = jnp.minimum(t_out, t_best)
+        inside = ok_m & (t_exit > t_enter)
+        um = jnp.maximum(_uniform(salt, m), 1e-12)   # _DIM_MEDIUM + m
+        free = -jnp.log(um) / dens
+        t_sc = t_enter + free
+        mb = inside & (free < (t_exit - t_enter)) & (t_sc < t_best)
+        t_best = jnp.where(mb, t_sc, t_best)
+        w_nx = jnp.where(mb, 1.0, w_nx)
+        w_ny = jnp.where(mb, 0.0, w_ny)
+        w_nz = jnp.where(mb, 0.0, w_nz)
+        w_u = jnp.where(mb, 0.0, w_u)
+        w_v = jnp.where(mb, 0.0, w_v)
+        w_mat = jnp.where(mb, med_ref[m, 9], w_mat)
+        w_is_rect = jnp.where(mb, 1.0, w_is_rect)
+
     w_is_rect = w_is_rect > 0.5
     hit = t_best < f32(1e30)
     p = _add3(o, _scale3(d, jnp.minimum(t_best, _T_POS_MAX)))
@@ -471,7 +540,11 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
     m_c = (c0_, c1_, c2_)
     m_c2 = (d0_, d1_, d2_)
 
-    # texture color (constant / checker) — texture_value math
+    # texture color (constant / checker) — texture_value math. NOISE and
+    # IMAGE textures on *scattering* materials are DEFERRED: the kernel
+    # shades with albedo 1 and the caller multiplies the texture value
+    # into beta afterwards (the same trick as deferred image emission —
+    # atlas gathers and Perlin permutation gathers belong in XLA).
     if has_checker:
         sines = (jnp.sin(10.0 * p[0]) * jnp.sin(10.0 * p[1])
                  * jnp.sin(10.0 * p[2]))
@@ -479,27 +552,35 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
         alb = _where3(is_chk & (sines < 0.0), m_c2, m_c)
     else:
         alb = m_c
+    is_img = m_textype == f32(int(TextureType.IMAGE))
+    is_noise = m_textype == f32(int(TextureType.NOISE))
+    defer_tex = is_img | is_noise
+    one3 = (jnp.ones_like(zero),) * 3
+    alb = _where3(defer_tex, one3, alb)
 
     # --- emission (one-sided, material.h:348-354) -------------------------
     is_light = m_type == f32(int(MaterialType.DIFFUSE_LIGHT))
     facing = _dot3(n_st, d) < 0.0
     emit_lane = alive & hit & is_light & facing
-    is_img = m_textype == f32(int(TextureType.IMAGE))
-    emit_now = emit_lane & ~is_img
+    emit_now = emit_lane & ~defer_tex
     radiance = _add3(radiance,
                      _where3(emit_now, (beta[0] * alb[0], beta[1] * alb[1],
                                         beta[2] * alb[2]),
                              (zero, zero, zero)))
-    # deferred image emission: caller gathers the atlas in XLA. The tex
-    # id is tagged with the primitive kind (bit 0) so the caller knows
-    # whether (du, dv, dw) is a rect uv or a sphere unit vector.
-    tag = m_timg * 2.0 + jnp.where(w_is_rect, 1.0, 0.0)
-    dtex_o[:] = jnp.where(emit_lane & is_img, tag, -1.0).astype(jnp.int32)
+    scatters = hit & ~is_light
+    # deferred texture evaluation: caller computes the texture in XLA.
+    # Tag encoding: tex_id*4 | (albedo? 2 : 0) | (rect-style uv? 1 : 0);
+    # -1 = nothing deferred. Emission lanes add beta*tex to radiance,
+    # albedo lanes multiply tex into the outgoing beta.
+    defer_emit = emit_lane & defer_tex
+    defer_alb = alive & scatters & defer_tex
+    tag = (m_timg * 4.0 + jnp.where(defer_alb, 2.0, 0.0)
+           + jnp.where(w_is_rect, 1.0, 0.0))
+    dtex_o[:] = jnp.where(defer_emit | defer_alb, tag,
+                          -1.0).astype(jnp.int32)
     du_o[:] = jnp.where(w_is_rect, w_u, unit[0])
     dv_o[:] = jnp.where(w_is_rect, w_v, unit[1])
     dw_o[:] = unit[2]
-
-    scatters = hit & ~is_light
 
     # --- specular branch (metal / dielectric) -----------------------------
     ddn = _dot3(d, n_st)
@@ -544,7 +625,20 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref,
             ddir = _normalize3(_where3(take_refl, refl, refr))
             is_diel = m_type == f32(int(MaterialType.DIELECTRIC))
             spec_dir = _where3(is_diel, ddir, spec_dir)
+        if has_iso:
+            # uniform phase function (materials.py scatter_specular ISO)
+            zz2 = 1.0 - 2.0 * u_s[0]
+            phi2 = 2.0 * np.float32(np.pi) * u_s[1]
+            rxy2 = jnp.sqrt(jnp.maximum(0.0, 1.0 - zz2 * zz2))
+            idir = _normalize3((rxy2 * jnp.cos(phi2),
+                                rxy2 * jnp.sin(phi2), zz2))
+            is_iso = m_type == f32(int(MaterialType.ISOTROPIC))
+            spec_dir = _where3(is_iso, idir, spec_dir)
+            spec_att = _where3(is_iso, alb, spec_att)
         spec_mask = zero < -1.0
+        if has_iso:
+            spec_mask = spec_mask | (m_type
+                                     == f32(int(MaterialType.ISOTROPIC)))
         if has_metal:
             spec_mask = spec_mask | (m_type == f32(int(MaterialType.METAL)))
         if has_diel:
@@ -831,7 +925,22 @@ def _build_tables(scene: Scene, flags):
                 jnp.zeros((4,), f32),
             ]))
     light = (jnp.stack(rows) if rows else jnp.zeros((1, 8), f32))
-    return sph, rect, mat, light
+    if scene.n_media:
+        med = jnp.stack([
+            scene.med_kind.astype(f32),
+            scene.med_center[:, 0].astype(f32),
+            scene.med_center[:, 1].astype(f32),
+            scene.med_center[:, 2].astype(f32),
+            scene.med_radius.astype(f32),
+            scene.med_half[:, 0].astype(f32),
+            scene.med_half[:, 1].astype(f32),
+            scene.med_half[:, 2].astype(f32),
+            scene.med_density.astype(f32),
+            scene.med_mat.astype(f32),
+        ], axis=1)                                              # (M, 10)
+    else:
+        med = jnp.zeros((1, 10), f32)
+    return sph, rect, mat, light, med
 
 
 def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
@@ -857,7 +966,23 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
 
     o, d = state["o"], state["d"]
     beta, radiance = state["beta"], state["radiance"]
-    ins = [
+    has_ext = scene.n_tris > 0
+    ext = []
+    if has_ext:
+        # triangles are intersected by the existing Pallas BVH kernels
+        # (or the gated XLA fallback) and fed in as an external hit
+        from srt_tpu.core.ray import Ray
+        from srt_tpu.render.intersect import intersect_tris_any
+        tri_hit = intersect_tris_any(
+            scene, Ray(origin=o, direction=d, time=state["time"]),
+            1e-3, _BIG, flags, interpret=interpret)
+        ext = [plane_f(jnp.where(tri_hit.hit, tri_hit.t, _BIG), _BIG),
+               plane_f(tri_hit.normal[:, 0]),
+               plane_f(tri_hit.normal[:, 1]),
+               plane_f(tri_hit.normal[:, 2]),
+               plane_f(tri_hit.uv[:, 0]), plane_f(tri_hit.uv[:, 1]),
+               plane_f(tri_hit.mat.astype(jnp.float32))]
+    ins = ext + [
         plane_f(o[:, 0]), plane_f(o[:, 1]), plane_f(o[:, 2]),
         plane_f(d[:, 0]), plane_f(d[:, 1]), plane_f(d[:, 2], 1.0),
         plane_f(state["time"]),
@@ -868,13 +993,13 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         plane_i(state["depth"], jnp.int32),
         plane_i(state["alive"], jnp.int32),
     ]
-    sph, rect, mat, light = _build_tables(scene, flags)
+    sph, rect, mat, light, med = _build_tables(scene, flags)
 
     kernel = functools.partial(
         _kernel,
         n_sph=int(scene.n_spheres), n_rect=int(scene.n_rects),
-        n_mat=int(scene.mat_type.shape[0]),
-        light_kinds=tuple(flags.light_kinds),
+        n_mat=int(scene.mat_type.shape[0]), n_media=int(scene.n_media),
+        has_ext=has_ext, light_kinds=tuple(flags.light_kinds),
         mat_kinds=tuple(flags.mat_kinds), tex_kinds=tuple(flags.tex_kinds),
         moving=bool(flags.moving), max_depth=int(max_depth),
         rr_start=int(rr_start), pdf_floor=float(pdf_floor))
@@ -888,12 +1013,12 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 4 + [tile_f] * 16,
+        in_specs=[smem] * 5 + [tile_f] * (16 + len(ext)),
         out_specs=tuple([tile_f] * 17),
         out_shape=tuple([shape_f] * 12 + [shape_i, shape_i]
                         + [shape_f, shape_f, shape_f]),
         interpret=interpret,
-    )(sph, rect, mat, light, *ins)
+    )(sph, rect, mat, light, med, *ins)
 
     (ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz,
      alive_o, dtex, du, dv, dw) = outs
@@ -902,28 +1027,47 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         return a.reshape(-1)[:n]
 
     radiance_out = jnp.stack([unflat(rx), unflat(ry), unflat(rz)], axis=-1)
-    # deferred image emission (atlas gather in XLA)
+    o_out = jnp.stack([unflat(ox), unflat(oy), unflat(oz)], axis=-1)
+    beta_out = jnp.stack([unflat(bx), unflat(by), unflat(bz)], axis=-1)
+    # deferred texture evaluation (image atlas gathers, Perlin marble):
+    # tag = tex_id*4 | (albedo ? 2 : 0) | (rect-uv ? 1 : 0). Emission
+    # lanes add beta_in * tex to radiance; albedo lanes shaded with
+    # albedo 1 in-kernel, so multiply tex into the outgoing beta.
     dtex = unflat(dtex)
-    has_img = int(TextureType.IMAGE) in flags.tex_kinds
-    if has_img and scene.atlas.shape[0] > 0:
-        from srt_tpu.materials.textures import _image_value
+    needs_defer = (int(TextureType.IMAGE) in flags.tex_kinds
+                   or int(TextureType.NOISE) in flags.tex_kinds)
+    if needs_defer:
+        from srt_tpu.materials.textures import texture_value
         from srt_tpu.render.intersect import _sphere_uv
         mask = dtex >= 0
+        is_alb = (dtex & 2) == 2
+        tex_id = jnp.clip(dtex >> 2, 0, scene.tex_type.shape[0] - 1)
         is_rect = (dtex & 1) == 1
-        tex_id = jnp.clip(dtex >> 1, 0, scene.tex_type.shape[0] - 1)
         unit = jnp.stack([unflat(du), unflat(dv), unflat(dw)], axis=-1)
         sph_uv = _sphere_uv(unit)
         u = jnp.where(is_rect, unflat(du), sph_uv[..., 0])
         v = jnp.where(is_rect, unflat(dv), sph_uv[..., 1])
-        col = _image_value(scene, tex_id, u, v)
+        uv = jnp.stack([u, v], axis=-1)
+        # hit position for Perlin: o_out IS the hit point on scatter
+        # lanes (the only lanes that can carry an albedo deferral).
+        # Without NOISE in the scene, skip texture_value's extra table
+        # gathers (they cost ~30% of ball_scenes' throughput) — every
+        # deferred tag is then an IMAGE lookup.
+        if int(TextureType.NOISE) in flags.tex_kinds:
+            col = texture_value(scene, tex_id, uv, o_out, flags)
+        else:
+            from srt_tpu.materials.textures import _image_value
+            col = _image_value(scene, tex_id, u, v)
         radiance_out = radiance_out + jnp.where(
-            mask[:, None], state["beta"] * col, 0.0)
+            (mask & ~is_alb)[:, None], state["beta"] * col, 0.0)
+        beta_out = jnp.where((mask & is_alb)[:, None], beta_out * col,
+                             beta_out)
 
     return dict(
-        o=jnp.stack([unflat(ox), unflat(oy), unflat(oz)], axis=-1),
+        o=o_out,
         d=jnp.stack([unflat(dx), unflat(dy), unflat(dz)], axis=-1),
         time=state["time"],
-        beta=jnp.stack([unflat(bx), unflat(by), unflat(bz)], axis=-1),
+        beta=beta_out,
         radiance=radiance_out,
         alive=unflat(alive_o) != 0,
         salt=state["salt"],

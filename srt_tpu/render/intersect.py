@@ -539,16 +539,26 @@ def intersect_scene(scene: Scene, ray: Ray, t_min=1e-3, t_max=_BIG,
     if scene.n_rects:
         best = best.closer_of(intersect_rects(scene, ray, t_min, t_max))
     if scene.n_tris:
-        from srt_tpu.pallas import pallas_available, pallas_big_available
-        if mode != "off" and pallas_available(scene, interpret=interp):
-            best = best.closer_of(
-                intersect_tris_via_pallas(scene, ray, t_min, interp,
-                                          leaf_size=leaf))
-        elif mode != "off" and pallas_big_available(scene, interpret=interp):
-            best = best.closer_of(
-                intersect_tris_via_pallas(scene, ray, t_min, interp,
-                                          leaf_size=leaf, big=True))
-        else:
-            best = best.closer_of(intersect_tris(scene, ray, t_min, t_max,
-                                                 leaf_size=leaf))
+        best = best.closer_of(
+            intersect_tris_any(scene, ray, t_min, t_max, flags,
+                               interpret=interp))
     return best
+
+
+def intersect_tris_any(scene: Scene, ray: Ray, t_min, t_max, flags=None,
+                       interpret: bool = False) -> Hit:
+    """Triangle closest-hit through whichever path fits the mesh:
+    VMEM-resident Pallas kernel, two-level DMA kernel, or the (gated) XLA
+    lockstep fallback. Also the external-hit feed of the fused bounce
+    kernel (pallas/bounce.py)."""
+    from srt_tpu.pallas import pallas_available, pallas_big_available
+    leaf = flags.bvh_leaf if flags is not None else 4
+    mode = _pallas_mode()
+    interp = interpret or mode == "interpret"
+    if mode != "off" and pallas_available(scene, interpret=interp):
+        return intersect_tris_via_pallas(scene, ray, t_min, interp,
+                                         leaf_size=leaf)
+    if mode != "off" and pallas_big_available(scene, interpret=interp):
+        return intersect_tris_via_pallas(scene, ray, t_min, interp,
+                                         leaf_size=leaf, big=True)
+    return intersect_tris(scene, ray, t_min, t_max, leaf_size=leaf)

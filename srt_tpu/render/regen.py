@@ -41,12 +41,18 @@ _DIM_LENS = 32
 _DIM_TIME = 34
 
 
-def _use_fused_bounce(flags, mode: str) -> bool:
+def _use_fused_bounce(flags, mode: str, rr_start: int,
+                      max_depth: int) -> bool:
     # `mode` is a static jit argument (captured OUTSIDE the trace in
     # render_regen): reading the env var inside the traced function would
     # not retrace on change — the jit cache key must carry it.
     from srt_tpu.pallas.bounce import fused_bounce_available
     if mode == "off":
+        return False
+    if (flags is not None and flags.fused_deferred_albedo
+            and rr_start < max_depth):
+        # roulette's in-kernel survival test would see the albedo-less
+        # beta on deferred-texture lanes; keep the XLA bounce there
         return False
     return fused_bounce_available(flags, interpret=mode == "interpret")
 
@@ -140,7 +146,8 @@ def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
         subkeys = ("o", "d", "time", "beta", "radiance", "alive", "salt",
                    "depth") + (("stale",) if parity else ())
         substate = {k: st[k] for k in subkeys}
-        if _use_fused_bounce(flags, pallas_mode):
+        if _use_fused_bounce(flags, pallas_mode, rr_start,
+                             max_depth):
             from srt_tpu.pallas.bounce import fused_bounce
             nxt = fused_bounce(scene, substate, max_depth, rr_start, flags,
                                pdf_floor,

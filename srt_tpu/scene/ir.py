@@ -74,6 +74,10 @@ class SceneFlags(NamedTuple):
     fused_bounce: bool = False
     light_kinds: tuple = ()
     moving: bool = False
+    # any scattering material carries a deferred (NOISE/IMAGE) albedo:
+    # in-kernel Russian roulette would then see an albedo-less beta, so
+    # dispatch keeps the kernel off when roulette is enabled
+    fused_deferred_albedo: bool = False
     # Reproduce the reference's *as-implemented* estimator instead of the
     # physically-correct one (for golden-image comparison against its
     # checked-in renders). Concretely (see materials.bsdf_weight/bsdf_pdf):
@@ -108,13 +112,17 @@ class SceneFlags(NamedTuple):
             moving = bool((np.asarray(scene.sph_center0)
                            != np.asarray(scene.sph_center1)).any())
             fused = _fused_bounce_eligible(scene, mt, tt)
+            scat = mt != int(MaterialType.DIFFUSE_LIGHT)
+            defer = bool(np.isin(
+                tt[np.asarray(scene.mat_tex)][scat],
+                [int(TextureType.NOISE), int(TextureType.IMAGE)]).any())
         except Exception:
-            light_kinds, moving, fused = (), True, False
+            light_kinds, moving, fused, defer = (), True, False, False
         return SceneFlags(tex_kinds=tuple(sorted(set(tt.tolist()))),
                           mat_kinds=tuple(sorted(set(mt.tolist()))),
                           bvh_leaf=leaf, sbvh_leaf=sleaf,
                           fused_bounce=fused, light_kinds=light_kinds,
-                          moving=moving)
+                          moving=moving, fused_deferred_albedo=defer)
 
 
 def _fused_bounce_eligible(scene, mat_types, tex_types) -> bool:
@@ -127,9 +135,9 @@ def _fused_bounce_eligible(scene, mat_types, tex_types) -> bool:
     XLA bounce.
     """
     import numpy as np
-    if scene.n_tris or scene.n_media or scene.merl.shape[0]:
+    if scene.merl.shape[0]:
         return False
-    if scene.n_spheres + scene.n_rects == 0:
+    if scene.n_spheres + scene.n_rects + scene.n_tris == 0:
         return False
     if scene.n_spheres > 1024 or scene.n_rects > 64 or scene.n_lights > 8:
         return False
@@ -137,22 +145,25 @@ def _fused_bounce_eligible(scene, mat_types, tex_types) -> bool:
         return False
     if bool(np.asarray(scene.sph_env).any()):
         return False  # env always-hit variant not in the kernel
+    if scene.n_media:
+        # analytic sphere/box media run in-kernel; mesh-bounded media
+        # (kind 2) keep the XLA bounce
+        if bool((np.asarray(scene.med_kind) == 2).any()):
+            return False
+        if scene.n_media > 8:
+            return False
     allowed = {int(MaterialType.LAMBERTIAN), int(MaterialType.OREN_NAYAR),
                int(MaterialType.BECKMANN), int(MaterialType.METAL),
-               int(MaterialType.DIELECTRIC), int(MaterialType.DIFFUSE_LIGHT)}
+               int(MaterialType.DIELECTRIC), int(MaterialType.DIFFUSE_LIGHT),
+               int(MaterialType.ISOTROPIC)}
     if not set(mat_types.tolist()) <= allowed:
         return False
-    # Texture families per material: constant/checker anywhere; image only
-    # on emitters (deferred); Perlin marble not in-kernel.
-    mat_tex_types = tex_types[np.asarray(scene.mat_tex)]
-    scattering = mat_types != int(MaterialType.DIFFUSE_LIGHT)
-    ok_scatter = np.isin(mat_tex_types[scattering],
-                         [int(TextureType.CONSTANT),
-                          int(TextureType.CHECKER)]).all()
-    ok_light = np.isin(mat_tex_types[~scattering],
-                       [int(TextureType.CONSTANT), int(TextureType.CHECKER),
-                        int(TextureType.IMAGE)]).all()
-    return bool(ok_scatter and ok_light)
+    # Texture families: constant/checker in-kernel; NOISE and IMAGE are
+    # deferred (the kernel emits a tag, XLA evaluates the texture).
+    return bool(np.isin(tex_types,
+                        [int(TextureType.CONSTANT), int(TextureType.CHECKER),
+                         int(TextureType.NOISE),
+                         int(TextureType.IMAGE)]).all())
 
 
 def has_tex(flags, kind) -> bool:

@@ -44,10 +44,25 @@ def test_flags_gate_ball_scenes():
     assert not flags.moving
 
 
-def test_flags_gate_triangle_scene_excluded():
-    from srt_tpu.scene.library import cornell_boxes
-    scene, _, _ = cornell_boxes(aspect=1.0)
-    assert not SceneFlags.of(scene).fused_bounce  # boxes lower to tris
+def test_flags_gate_extended_coverage():
+    # triangles (external-hit feed), analytic media, isotropic and
+    # deferred NOISE/IMAGE albedo are in scope since round 4
+    from srt_tpu.scene.library import (cornell_boxes, final, simple_light,
+                                       two_perlin_spheres)
+    assert SceneFlags.of(cornell_boxes(aspect=1.0)[0]).fused_bounce
+    f = SceneFlags.of(final(aspect=1.0)[0])
+    assert f.fused_bounce and f.fused_deferred_albedo
+    assert SceneFlags.of(simple_light(aspect=1.0)[0]).fused_bounce
+    # two_perlin carries an env (always-hit) ambient dome -> excluded
+    assert not SceneFlags.of(two_perlin_spheres(aspect=1.0)[0]).fused_bounce
+
+
+def test_flags_gate_env_sphere_excluded():
+    b = SceneBuilder()
+    b.sphere((0, 0, 0), 100.0, b.diffuse_light(b.constant((1, 1, 1))),
+             env=True)
+    b.sphere((0, 0, 5), 1.0, b.lambertian(b.constant((0.5, 0.5, 0.5))))
+    assert not SceneFlags.of(b.build()).fused_bounce
 
 
 def test_ball_scenes_bounce_equivalence():
@@ -181,3 +196,29 @@ def test_russian_roulette_path():
     assert abs(img_k.mean() - img_x.mean()) < 5e-3
     assert np.median(diff) < 1e-6
     assert (diff > 1e-2).mean() < 0.2
+
+
+def test_final_scene_matches_xla():
+    """`final` exercises every round-4 extension at once: external
+    triangle hits, two analytic media, isotropic, metal/dielectric,
+    moving spheres, and deferred NOISE + IMAGE albedo."""
+    from srt_tpu.scene.library import final
+    scene, cam, _ = final(aspect=1.0)
+    img_k, img_x = _render_both(scene, cam, width=40, height=40, spp=2,
+                                max_depth=5)
+    assert np.isfinite(img_k).all()
+    diff = np.abs(img_k - img_x).max(axis=-1)
+    assert np.median(diff) < 1e-5
+    assert abs(img_k.mean() - img_x.mean()) < 5e-3
+    assert (diff > 1e-2).mean() < 0.2
+
+
+def test_simple_light_marble_matches_xla():
+    # deferred Perlin-marble albedo (NOISE) path
+    from srt_tpu.scene.library import simple_light
+    scene, cam, _ = simple_light(aspect=1.0)
+    img_k, img_x = _render_both(scene, cam)
+    diff = np.abs(img_k - img_x).max(axis=-1)
+    assert np.median(diff) < 1e-6
+    assert (diff > 1e-3).mean() < 5e-3
+    assert abs(img_k.mean() - img_x.mean()) < 1e-3
