@@ -51,13 +51,25 @@ def _mesh_medium_crossings(scene: Scene, ray: Ray, m: int):
     t1 = jnp.full((n,), big)
     t2 = jnp.full((n,), big)
     k = scene.med_tri_p0.shape[0]
-    chunk = 512
-    for c0 in range(0, k, chunk):
-        c1 = min(c0 + chunk, k)
-        p0 = scene.med_tri_p0[c0:c1]
-        e1 = scene.med_tri_p1[c0:c1] - p0
-        e2 = scene.med_tri_p2[c0:c1] - p0
-        mine = scene.med_tri_mid[c0:c1] == m
+    chunk = min(512, k)
+    # One lax.fori_loop over fixed-size chunks (NOT a Python loop: a
+    # bunny-scale medium mesh would otherwise unroll ~k/512 traced
+    # Möller–Trumbore blocks into *every* bounce). Static trip count →
+    # scan lowering, so the reverse-diff path stays intact.
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    p0a = jnp.pad(scene.med_tri_p0, ((0, pad), (0, 0)))
+    p1a = jnp.pad(scene.med_tri_p1, ((0, pad), (0, 0)))
+    p2a = jnp.pad(scene.med_tri_p2, ((0, pad), (0, 0)))
+    mida = jnp.pad(scene.med_tri_mid, (0, pad), constant_values=-1)
+
+    def chunk_body(ci, carry):
+        t1, t2 = carry
+        c0 = ci * chunk
+        p0 = jax.lax.dynamic_slice_in_dim(p0a, c0, chunk)
+        e1 = jax.lax.dynamic_slice_in_dim(p1a, c0, chunk) - p0
+        e2 = jax.lax.dynamic_slice_in_dim(p2a, c0, chunk) - p0
+        mine = jax.lax.dynamic_slice_in_dim(mida, c0, chunk) == m
         d = ray.direction[:, None, :]
         pv = jnp.cross(d, e2[None])
         det = jnp.sum(e1[None] * pv, axis=-1)
@@ -80,6 +92,9 @@ def _mesh_medium_crossings(scene: Scene, ray: Ray, m: int):
         t1 = jnp.min(all4, axis=1)
         all4b = jnp.where(all4 <= t1[:, None] + 1e-4, big, all4)
         t2 = jnp.min(all4b, axis=1)
+        return t1, t2
+
+    t1, t2 = jax.lax.fori_loop(0, n_chunks, chunk_body, (t1, t2))
     ok = (t1 < big) & (t2 < big)
     return t1, t2, ok
 

@@ -464,6 +464,39 @@ def final(aspect: float = 1.0, max_tex: int | None = None, seed: int = 1,
 
 
 @_register
+def final1(aspect: float = 1.0, seed: int = 1, n_cluster: int = 1000,
+           **_kw):
+    """Dead reference fixture ``final1`` (``Raytracing_n.cpp:693-711``): a
+    strict subset of :func:`final` — the TNW area light plus the rotated
+    1000-sphere cube, nothing else. The source builds no camera for it
+    (unreachable from ``main``); we reuse ``final``'s camera. Sphere
+    positions are drand48-random in the reference; pinned numpy seed here
+    (same distribution, stable fixture — same policy as ``final``). The
+    source also builds its light *unflipped* (upward-emitting, ``:702``)
+    — black from any camera below it; we flip it as ``final`` does
+    (``:498``) so the fixture actually renders."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    info: dict = {}
+
+    white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+    light = b.diffuse_light(b.constant((7.0, 7.0, 7.0)))
+    lid = b.xz_rect(123, 423, 147, 412, 554, light, flip=True)    # :702
+
+    rot = rotation_y(15.0)                                        # :704-709
+    centers = rng.random((n_cluster, 3)).astype(np.float32) * 165.0
+    centers = centers @ rot.T + np.array([-100, 270, 395], np.float32)
+    for c in centers:
+        b.sphere(c, 10.0, white)
+    b.light_rect(lid)
+
+    cam = Camera.look_at((478, 278, -600), (278, 278, 0), vfov=40.0,
+                         aspect=aspect, aperture=0.0, focus_dist=10.0)
+    info["lights"] = 1
+    return b.build(), cam, info
+
+
+@_register
 def jadebunny_scene(aspect: float = 1.0, max_tex: int | None = None, **_kw):
     """Reference scene 4 (``Raytracing_n.cpp:535-583``): glass bunny shell
     over a slightly smaller Oren–Nayar blue bunny."""

@@ -235,6 +235,42 @@ def test_medium_mesh_matches_box():
     np.testing.assert_allclose(mi, bi, rtol=1e-3, atol=1e-3)
 
 
+def test_medium_mesh_trace_size_bounded():
+    """The mesh-medium boundary sweep must loop over chunks
+    (lax.fori_loop), not unroll them into the traced bounce: a big fog
+    mesh's jaxpr must be the same size as a small one's (regression for
+    the k/512 Python chunk unroll)."""
+    import jax
+
+    from srt_tpu.core.ray import Ray
+    from srt_tpu.render.integrator import _mesh_medium_crossings
+
+    def build(n_quads):
+        b = SceneBuilder()
+        lid = b.xy_rect(-5, 5, -5, 5, -20,
+                        b.diffuse_light(b.constant((4, 4, 4))))
+        th = np.linspace(0, 2 * np.pi, n_quads, endpoint=False)
+        ring = np.stack([np.cos(th), np.sin(th), np.zeros_like(th)], -1)
+        tris = np.stack([ring, np.roll(ring, -1, 0),
+                         ring + [0, 0, 1.0]], 1).astype(np.float32)
+        b.medium_mesh(tris, 0.5, b.constant((0.2, 0.2, 0.2)))
+        b.light_rect(lid)
+        return b.build()
+
+    def crossings(scene):
+        ray = Ray(origin=np.zeros((8, 3), np.float32),
+                  direction=np.tile(np.array([0, 0, -1.0], np.float32),
+                                    (8, 1)),
+                  time=np.zeros((8,), np.float32))
+        return _mesh_medium_crossings(scene, ray, 0)
+
+    small = jax.make_jaxpr(crossings)(build(256))
+    big = jax.make_jaxpr(crossings)(build(20000))
+    n_small = len(small.jaxpr.eqns)
+    n_big = len(big.jaxpr.eqns)
+    assert n_big <= n_small + 5, (n_small, n_big)
+
+
 def test_ref_parity_render_end_to_end():
     """ref_parity mode end-to-end: a diffuse floor under a bright dome
     with a weak rect light renders much darker under parity (diffuse

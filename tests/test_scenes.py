@@ -17,7 +17,7 @@ from srt_tpu.scene.teapot import create_teapot
 _HAVE_ASSETS = find_asset("environment_map/sky_2.png") is not None
 
 _SMALL = {"teapot_scene": dict(divs=6), "final": dict(n_cluster=40),
-          "random_scene": dict(n_grid=4)}
+          "final1": dict(n_cluster=40), "random_scene": dict(n_grid=4)}
 
 
 @pytest.mark.parametrize("name", sorted(SCENES))
@@ -164,3 +164,17 @@ def test_random_scene_smoke():
         width=24, height=24, spp=4, max_depth=5)))
     assert np.isnan(img).sum() == 0
     assert img.mean() > 0.01
+
+
+def test_final1_layout():
+    """final1 (Raytracing_n.cpp:693-711) = TNW light + the rotated
+    1000-sphere cube, nothing else — a strict subset of ``final``."""
+    scene, cam, info = get_scene("final1")
+    assert scene.n_spheres == 1000
+    assert np.allclose(np.asarray(scene.sph_radius), 10.0)
+    assert scene.n_rects == 1          # the area light
+    assert scene.n_tris == 0 and scene.n_media == 0
+    assert scene.n_lights == 1 and info["lights"] == 1
+    # the cluster's sphere cloud sits in the rotated [0,165]^3 cube
+    c = np.asarray(scene.sph_center0)
+    assert c[:, 1].min() > 260 and c[:, 1].max() < 165 + 280
