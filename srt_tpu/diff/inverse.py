@@ -39,7 +39,12 @@ _DIM_TIME = 34
 
 def splice(scene: Scene, params: dict[str, Any]) -> Scene:
     """Replace Scene fields by name from a parameter dict (the optimized
-    subset of scene state, e.g. ``{"tex_color": ..., "mat_params": ...}``)."""
+    subset of scene state, e.g. ``{"tex_color": ..., "mat_params": ...}``).
+
+    Optimizing the f32 ``atlas`` drops its packed rgb8 twin (gradients
+    can't flow through the integer-gather fast path)."""
+    if "atlas" in params:
+        return scene._replace(**params, atlas_u32=None)
     return scene._replace(**params)
 
 
@@ -84,12 +89,14 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
     from srt_tpu.scene.ir import SceneFlags
     flags = SceneFlags.of(scene)
     if engine == "regen":
+        from srt_tpu.render.intersect import _pallas_mode
         from srt_tpu.render.regen_scan import steps_for, trace_queue
         steps = steps_for(p * spp, wavefront, depth_budget, max_depth,
                           drain=drain)
         radiance, _ = trace_queue(scene, rays, sampler.salt, n_steps=steps,
                                   wavefront=wavefront, max_depth=max_depth,
-                                  flags=flags, unroll=unroll)
+                                  flags=flags, unroll=unroll,
+                                  pallas_mode=_pallas_mode())
     else:
         radiance = trace(scene, rays, sampler, max_depth=max_depth,
                          rr_start=1 << 30, flags=flags)

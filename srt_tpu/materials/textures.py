@@ -56,16 +56,73 @@ def perlin_turb(scene: Scene, p, depth: int = 7):
     return jnp.abs(acc)
 
 
+def _marble(scene: Scene, tex_id, p):
+    """Marble intensity 0.5*(1+sin(scale*z + 5*turb)) (``texture.h:42``)."""
+    scale = scene.tex_scale[tex_id][..., None]
+    turb = perlin_turb(scene, scale * p)
+    return 0.5 * (1.0 + jnp.sin(scale[..., 0] * p[..., 2] + 5.0 * turb))
+
+
+def texture_value_compact(scene: Scene, tex_id, uv, p, flags, active,
+                          capacity: int):
+    """:func:`texture_value` evaluated only on the stream-compacted
+    ``active`` lanes -> (N, 3); inactive lanes return 0.
+
+    Perlin turbulence is 7 octaves x 8 corners x 4 table gathers per lane
+    — by far the most expensive texel in the framework (it alone halved
+    ``final``'s throughput when evaluated full-width, PERF.md) — and
+    image-atlas gathers cost too. Deferred-texture lanes are typically a
+    few percent of a wavefront, so: cumsum-rank compact them into a
+    ``capacity``-sized buffer (the regen work-queue pattern), evaluate
+    there, gather back. Per-lane math is unchanged, so values are
+    bit-identical to the full-width evaluation. If more than ``capacity``
+    lanes are active, a ``lax.cond`` falls back to the full-width
+    evaluation — exact at any occupancy.
+    """
+    import jax
+
+    n = p.shape[0]
+    cap = min(capacity, n)
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    slot = jnp.where(active & (rank < cap), rank, cap)  # cap = dump slot
+    comp_p = jnp.zeros((cap + 1, 3), p.dtype).at[slot].set(p)
+    comp_uv = jnp.zeros((cap + 1, 2), uv.dtype).at[slot].set(uv)
+    comp_id = jnp.zeros((cap + 1,), tex_id.dtype).at[slot].set(tex_id)
+    col = texture_value(scene, comp_id, comp_uv, comp_p, flags)[slot]
+    overflow = jnp.any(active & (rank >= cap))
+    mask3 = active[:, None]
+    return jax.lax.cond(
+        overflow,
+        lambda: jnp.where(mask3, texture_value(scene, tex_id, uv, p, flags),
+                          0.0),
+        lambda: jnp.where(mask3, col, 0.0))
+
+
 def _image_value(scene: Scene, tex_id, u, v):
-    """Nearest-neighbor atlas lookup with y-flip (``texture.h:58-70``)."""
+    """Nearest-neighbor atlas lookup with y-flip (``texture.h:58-70``).
+
+    Uses the packed rgb8 twin (``Scene.atlas_u32``) when present: XLA
+    lowers big random gathers to a serial per-element loop on TPU, so one
+    u32 gather + bit unpack beats three f32 gathers ~3x — and unpacking
+    ``int(v)/255.0`` in f32 reproduces the build-time ``u8/255`` values
+    bit-exactly.
+    """
     meta = scene.tex_img[tex_id]              # (N, 3) offset, nx, ny
     off, nx, ny = meta[..., 0], meta[..., 1], meta[..., 2]
     i = jnp.clip((u * nx.astype(u.dtype)).astype(jnp.int32), 0, nx - 1)
     j = jnp.clip(((1.0 - v) * ny.astype(v.dtype) - 0.001).astype(jnp.int32),
                  0, ny - 1)
-    base = off + 3 * (i + nx * j)
     if scene.atlas.shape[0] == 0:
         return jnp.ones_like(u)[..., None] * np.ones(3, np.float32)
+    if scene.atlas_u32 is not None:
+        base3 = off // 3 + i + nx * j
+        bits = scene.atlas_u32[jnp.clip(base3, 0,
+                                        scene.atlas_u32.shape[0] - 1)]
+        inv = np.float32(255.0)
+        return jnp.stack([((bits >> 16) & 255).astype(jnp.float32) / inv,
+                          ((bits >> 8) & 255).astype(jnp.float32) / inv,
+                          (bits & 255).astype(jnp.float32) / inv], axis=-1)
+    base = off + 3 * (i + nx * j)
     base = jnp.clip(base, 0, scene.atlas.shape[0] - 3)
     return jnp.stack([scene.atlas[base], scene.atlas[base + 1],
                       scene.atlas[base + 2]], axis=-1)
@@ -102,12 +159,9 @@ def texture_value(scene: Scene, tex_id, uv, p, flags=None):
 
     if table_has(TextureType.NOISE):
         # NOISE: marble 0.5*(1+sin(scale*z + 5*turb)) (texture.h:42).
-        scale = scene.tex_scale[tex_id][..., None]
-        turb = perlin_turb(scene, scale * p)
-        marble = (0.5 * (1.0 + jnp.sin(scale[..., 0] * p[..., 2]
-                                       + 5.0 * turb)))[..., None] \
-            * jnp.ones_like(color)
-        out = jnp.where((ttype == TextureType.NOISE)[..., None], marble, out)
+        marble = _marble(scene, tex_id, p)[..., None] * jnp.ones_like(color)
+        out = jnp.where((ttype == TextureType.NOISE)[..., None], marble,
+                        out)
 
     if table_has(TextureType.IMAGE):
         image = _image_value(scene, tex_id, uv[..., 0], uv[..., 1])

@@ -314,18 +314,38 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
             n_sph: int, n_rect: int, n_mat: int, n_media: int,
             has_ext: bool, light_kinds: tuple,
             mat_kinds: tuple, tex_kinds: tuple, moving: bool,
-            max_depth: int, rr_start: int, pdf_floor: float):
-    # operand unpacking: optional external-hit planes precede the state
+            max_depth: int, rr_start: int, pdf_floor: float,
+            regen: bool = False, width: int = 0, height: int = 0,
+            spp: int = 0, total_work: int = 0, n_lanes: int = 0,
+            defer_beta: bool = False):
+    # operand unpacking: optional regen tables and external-hit planes
+    # precede the state; regen outputs and the scratch cursor follow it
     i = 0
+    if regen:
+        cam_ref, sobol_ref, seed_ref, cursor_ref = rest[:4]
+        i = 4
     if has_ext:
         (ext_t_ref, ext_nx_ref, ext_ny_ref, ext_nz_ref, ext_u_ref,
-         ext_v_ref, ext_mat_ref) = rest[:7]
-        i = 7
+         ext_v_ref, ext_mat_ref) = rest[i:i + 7]
+        i += 7
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, time_ref,
      bx_ref, by_ref, bz_ref, rx_ref, ry_ref, rz_ref,
-     salt_ref, depth_ref, alive_ref,
-     oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
-     alive_o, dtex_o, du_o, dv_o, dw_o) = rest[i:]
+     salt_ref, depth_ref, alive_ref) = rest[i:i + 16]
+    i += 16
+    if regen:
+        pix_ref = rest[i]
+        i += 1
+    (oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
+     alive_o, dtex_o, du_o, dv_o, dw_o) = rest[i:i + 17]
+    i += 17
+    if regen:
+        pix_o, fin_o, time_o, depth_o, salt_o, cursor_o = rest[i:i + 6]
+        i += 6
+        if defer_beta:
+            bixo, biyo, bizo = rest[i:i + 3]
+            i += 3
+        acc_ref = rest[i]
+        i += 1
     f32 = jnp.float32
     o = (ox_ref[:], oy_ref[:], oz_ref[:])
     d = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -333,7 +353,102 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     radiance = (rx_ref[:], ry_ref[:], rz_ref[:])
     alive = alive_ref[:] != 0
     depth = depth_ref[:]
+    time = time_ref[:]
     t_min = f32(1e-3)
+
+    # --- in-kernel lane regeneration (regen.py:110-137 moved here: the
+    # work-queue cumsum, the sobol pixel jitter, the thin-lens camera
+    # (camera.h:51-59) and the RaySampler salt — one launch per bounce,
+    # only the image scatter-add stays in XLA) ---------------------------
+    if regen:
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _():
+            acc_ref[0] = cursor_ref[0]
+
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, o[0].shape, 0)
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, o[0].shape, 1)
+        gid = (pid * _TILE_ROWS + rows_i) * 128 + cols_i
+        lane_ok = gid < n_lanes         # plane padding is not real work
+        need = (~alive) & lane_ok
+        # row-major rank of each dead lane via two MXU prefix matmuls
+        need_f = need.astype(f32)
+        upper = jnp.triu(jnp.ones((128, 128), f32))
+        pref = jax.lax.dot_general(need_f, upper,
+                                   (((1,), (0,)), ((), ())))
+        row_tot = pref[:, 127:128]
+        lower_s = jnp.tril(jnp.ones((_TILE_ROWS, _TILE_ROWS), f32), k=-1)
+        row_base = jax.lax.dot_general(lower_s, row_tot,
+                                       (((1,), (0,)), ((), ())))
+        base = acc_ref[0]
+        wid = base + (row_base + pref - 1.0).astype(jnp.int32)
+        take = need & (wid < total_work)
+        # consecutive work ids share a pixel (sample-minor -> coherent
+        # primary rays, regen.py:117)
+        pixn = wid // spp
+        sampn = wid % spp
+        jx = jnp.zeros_like(o[0])
+        jy = jnp.zeros_like(o[0])
+        for kk in range(spp):
+            sel = sampn == kk
+            jx = jnp.where(sel, sobol_ref[0, kk], jx)
+            jy = jnp.where(sel, sobol_ref[1, kk], jy)
+        colp = (pixn % width).astype(f32)
+        rowp = (pixn // width).astype(f32)
+        s_film = (colp + jx) / f32(width)
+        t_film = (f32(height) - 1.0 - rowp + jy) / f32(height)
+        # RaySampler.create(seed, pix, samp) (core/rng.py:62-65)
+        pix_u = jax.lax.bitcast_convert_type(pixn, _U32)
+        samp_u = jax.lax.bitcast_convert_type(sampn, _U32)
+        # seed rides SMEM as u32 (Mosaic has no *scalar* bitcast)
+        salt_new = _hash_combine(pix_u, _hash_combine(samp_u, seed_ref[0]))
+        u_l1 = _uniform(salt_new, 32)          # _DIM_LENS
+        u_l2 = _uniform(salt_new, 33)
+        u_tm = _uniform(salt_new, 34)          # _DIM_TIME
+        cam = [cam_ref[k] for k in range(21)]
+        c_org, c_ll = cam[0:3], cam[3:6]
+        c_hor, c_ver = cam[6:9], cam[9:12]
+        c_u, c_v = cam[12:15], cam[15:18]
+        c_lr, c_t0, c_t1 = cam[18], cam[19], cam[20]
+        r_lens = c_lr * jnp.sqrt(u_l1)
+        phi_l = 2.0 * np.float32(np.pi) * u_l2
+        off = _add3(_scale3(c_u, r_lens * jnp.cos(phi_l)),
+                    _scale3(c_v, r_lens * jnp.sin(phi_l)))
+        new_o = _add3(c_org, off)
+        new_d = _normalize3((
+            c_ll[0] + s_film * c_hor[0] + t_film * c_ver[0]
+            - c_org[0] - off[0],
+            c_ll[1] + s_film * c_hor[1] + t_film * c_ver[1]
+            - c_org[1] - off[1],
+            c_ll[2] + s_film * c_hor[2] + t_film * c_ver[2]
+            - c_org[2] - off[2]))
+        new_time = c_t0 + u_tm * (c_t1 - c_t0)
+
+        one = jnp.ones_like(o[0])
+        zero_p = jnp.zeros_like(o[0])
+        o = _where3(take, new_o, o)
+        d = _where3(take, new_d, d)
+        time = jnp.where(take, new_time, time)
+        beta = _where3(take, (one, one, one), beta)
+        radiance = _where3(take, (zero_p, zero_p, zero_p), radiance)
+        alive = alive | take
+        depth = jnp.where(take, 0, depth)
+        # the regen engine's salt planes are i32 (clean jnp.where); the
+        # fresh salts bitcast down from the u32 hash
+        salt_i = jnp.where(
+            take, jax.lax.bitcast_convert_type(salt_new, jnp.int32),
+            salt_ref[:])
+        pix_merged = jnp.where(take, pixn, pix_ref[:])
+        pix_o[:] = pix_merged
+        n_taken = jnp.sum(take.astype(f32)).astype(jnp.int32)
+        acc_ref[0] = base + n_taken
+
+        @pl.when(pid == pl.num_programs(0) - 1)
+        def _():
+            cursor_o[0] = acc_ref[0]
+        if defer_beta:
+            bixo[:], biyo[:], bizo[:] = beta
 
     has = lambda k: int(k) in mat_kinds                       # noqa: E731
     has_beck = has(MaterialType.BECKMANN)
@@ -343,11 +458,20 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     has_iso = has(MaterialType.ISOTROPIC)
     any_specular = has_metal or has_diel or has_iso
     has_checker = int(TextureType.CHECKER) in tex_kinds
-    time = time_ref[:] if moving else None
+    if not regen:
+        time = time_ref[:] if moving else None
+        salt_in_u = salt_ref[:]
+    else:
+        # regen merged these above (fresh lanes got camera time / a new
+        # pix-samp salt); persist them for the carry
+        salt_in_u = jax.lax.bitcast_convert_type(salt_i, _U32)
+        time_o[:] = time
+        depth_o[:] = depth + 1
+        salt_o[:] = salt_i
 
     # per-lane sampler stream for this bounce
-    salt = _hash_combine(salt_ref[:],
-                     jax.lax.bitcast_convert_type(depth, _U32))
+    salt = _hash_combine(salt_in_u,
+                         jax.lax.bitcast_convert_type(depth, _U32))
 
     # --- closest hit over spheres ---------------------------------------
     # Carries select the *winner's* fields as the sweep goes; ties keep
@@ -363,14 +487,14 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
 
     def sphere_body(s, carry):
         t_best, cx, cy, cz, r, flip, mat = carry
-        c0 = (sph_ref[s, 0], sph_ref[s, 1], sph_ref[s, 2])
+        c0 = (sph_ref[0, s], sph_ref[1, s], sph_ref[2, s])
         if moving:
-            f = (time - sph_ref[s, 6]) * sph_ref[s, 7]
-            cen = (c0[0] + f * sph_ref[s, 3], c0[1] + f * sph_ref[s, 4],
-                   c0[2] + f * sph_ref[s, 5])
+            f = (time - sph_ref[6, s]) * sph_ref[7, s]
+            cen = (c0[0] + f * sph_ref[3, s], c0[1] + f * sph_ref[4, s],
+                   c0[2] + f * sph_ref[5, s])
         else:
             cen = c0
-        rad = sph_ref[s, 8]
+        rad = sph_ref[8, s]
         oc = _sub3(o, cen)
         b = _dot3(oc, d)
         c = _dot3(oc, oc) - rad * rad
@@ -380,14 +504,18 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         ok = disc > 0.0
         t = jnp.where(ok & (t0 > t_min), t0,
                       jnp.where(ok & (t1 > t_min), t1, _BIG))
+        # env_sphere always-hit at the far crossing (env_sphere.h:27-38,
+        # intersect.py:117-120) — no discriminant test
+        t = jnp.where(sph_ref[11, s] > 0.0,
+                      jnp.where(t1 > t_min, t1, _BIG), t)
         better = t < t_best
         return (jnp.where(better, t, t_best),
                 jnp.where(better, cen[0], cx),
                 jnp.where(better, cen[1], cy),
                 jnp.where(better, cen[2], cz),
                 jnp.where(better, rad, r),
-                jnp.where(better, sph_ref[s, 10], flip),
-                jnp.where(better, sph_ref[s, 9], mat))
+                jnp.where(better, sph_ref[10, s], flip),
+                jnp.where(better, sph_ref[9, s], mat))
 
     if n_sph:
         t_best, w_cx, w_cy, w_cz, w_r, w_flip, w_mat = jax.lax.fori_loop(
@@ -400,10 +528,10 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
 
     def rect_body(rr, carry):
         t_best, nx, ny, nz, u, v, mat, is_rect = carry
-        na, ua, va = rect_ref[rr, 0], rect_ref[rr, 1], rect_ref[rr, 2]
-        k = rect_ref[rr, 3]
-        a0, a1, b0, b1 = (rect_ref[rr, 4], rect_ref[rr, 5],
-                          rect_ref[rr, 6], rect_ref[rr, 7])
+        na, ua, va = rect_ref[0, rr], rect_ref[1, rr], rect_ref[2, rr]
+        k = rect_ref[3, rr]
+        a0, a1, b0, b1 = (rect_ref[4, rr], rect_ref[5, rr],
+                          rect_ref[6, rr], rect_ref[7, rr])
         d_n = _axis_comp(d, na)
         o_n = _axis_comp(o, na)
         t = (k - o_n) / jnp.where(jnp.abs(d_n) < 1e-20, 1e-20, d_n)
@@ -412,7 +540,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         valid = ((pu >= a0) & (pu <= a1) & (pv >= b0) & (pv <= b1)
                  & (t > t_min))
         better = valid & (t < t_best)
-        flip = rect_ref[rr, 9]
+        flip = rect_ref[9, rr]
         one = jnp.ones_like(t)
         return (jnp.where(better, t, t_best),
                 jnp.where(better, jnp.where(na == 0.0, flip, 0.0) * one, nx),
@@ -420,7 +548,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 jnp.where(better, jnp.where(na == 2.0, flip, 0.0) * one, nz),
                 jnp.where(better, (pu - a0) / (a1 - a0), u),
                 jnp.where(better, (pv - b0) / (b1 - b0), v),
-                jnp.where(better, rect_ref[rr, 8], mat),
+                jnp.where(better, rect_ref[8, rr], mat),
                 jnp.where(better, jnp.ones_like(is_rect), is_rect))
 
     if n_rect:
@@ -446,11 +574,11 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     # --- participating media (integrator._apply_media, sphere/box
     # analytic): a nearer stochastic in-scatter event overrides the hit.
     for m in range(n_media):
-        kind = med_ref[m, 0]
-        cen = (med_ref[m, 1], med_ref[m, 2], med_ref[m, 3])
-        rad = med_ref[m, 4]
-        half = (med_ref[m, 5], med_ref[m, 6], med_ref[m, 7])
-        dens = med_ref[m, 8]
+        kind = med_ref[0, m]
+        cen = (med_ref[1, m], med_ref[2, m], med_ref[3, m])
+        rad = med_ref[4, m]
+        half = (med_ref[5, m], med_ref[6, m], med_ref[7, m])
+        dens = med_ref[8, m]
         oc = _sub3(o, cen)
         bq = _dot3(oc, d)
         cq = _dot3(oc, oc) - rad * rad
@@ -487,7 +615,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         w_nz = jnp.where(mb, 0.0, w_nz)
         w_u = jnp.where(mb, 0.0, w_u)
         w_v = jnp.where(mb, 0.0, w_v)
-        w_mat = jnp.where(mb, med_ref[m, 9], w_mat)
+        w_mat = jnp.where(mb, med_ref[9, m], w_mat)
         w_is_rect = jnp.where(mb, 1.0, w_is_rect)
 
     w_is_rect = w_is_rect > 0.5
@@ -518,19 +646,19 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     def mat_body(m, carry):
         (mt, p0, p1, p2, p3, tt, c0, c1, c2, d0, d1, d2, ti) = carry
         sel = w_mat == m.astype(f32)
-        return (jnp.where(sel, mat_ref[m, 0], mt),
-                jnp.where(sel, mat_ref[m, 1], p0),
-                jnp.where(sel, mat_ref[m, 2], p1),
-                jnp.where(sel, mat_ref[m, 3], p2),
-                jnp.where(sel, mat_ref[m, 4], p3),
-                jnp.where(sel, mat_ref[m, 5], tt),
-                jnp.where(sel, mat_ref[m, 6], c0),
-                jnp.where(sel, mat_ref[m, 7], c1),
-                jnp.where(sel, mat_ref[m, 8], c2),
-                jnp.where(sel, mat_ref[m, 9], d0),
-                jnp.where(sel, mat_ref[m, 10], d1),
-                jnp.where(sel, mat_ref[m, 11], d2),
-                jnp.where(sel, mat_ref[m, 13], ti))
+        return (jnp.where(sel, mat_ref[0, m], mt),
+                jnp.where(sel, mat_ref[1, m], p0),
+                jnp.where(sel, mat_ref[2, m], p1),
+                jnp.where(sel, mat_ref[3, m], p2),
+                jnp.where(sel, mat_ref[4, m], p3),
+                jnp.where(sel, mat_ref[5, m], tt),
+                jnp.where(sel, mat_ref[6, m], c0),
+                jnp.where(sel, mat_ref[7, m], c1),
+                jnp.where(sel, mat_ref[8, m], c2),
+                jnp.where(sel, mat_ref[9, m], d0),
+                jnp.where(sel, mat_ref[10, m], d1),
+                jnp.where(sel, mat_ref[11, m], d2),
+                jnp.where(sel, mat_ref[13, m], ti))
 
     (m_type, m_p0, m_p1, m_p2, m_p3, m_textype, c0_, c1_, c2_, d0_, d1_,
      d2_, m_timg) = jax.lax.fori_loop(
@@ -692,18 +820,18 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         light_dir = (zero, zero, zero)
         for li, kind in enumerate(light_kinds):
             if kind == int(LightKind.RECT):
-                na, ua, va = (light_ref[li, 0], light_ref[li, 1],
-                              light_ref[li, 2])
-                k = light_ref[li, 3]
-                a0, a1, b0, b1 = (light_ref[li, 4], light_ref[li, 5],
-                                  light_ref[li, 6], light_ref[li, 7])
+                na, ua, va = (light_ref[0, li], light_ref[1, li],
+                              light_ref[2, li])
+                k = light_ref[3, li]
+                a0, a1, b0, b1 = (light_ref[4, li], light_ref[5, li],
+                                  light_ref[6, li], light_ref[7, li])
                 pu = a0 + u1 * (a1 - a0)
                 pv = b0 + u2 * (b1 - b0)
                 point = _axis_compose(na, ua, va, k + zero, pu, pv)
                 wl = _normalize3(_sub3(point, p))
             else:  # SPHERE: cone sampling (lights.py:_sphere_sample)
-                cen = (light_ref[li, 0], light_ref[li, 1], light_ref[li, 2])
-                rad = light_ref[li, 3]
+                cen = (light_ref[0, li], light_ref[1, li], light_ref[2, li])
+                rad = light_ref[3, li]
                 to_c = _sub3(cen, p)
                 dist_sq = _dot3(to_c, to_c)
                 inside = dist_sq <= rad * rad
@@ -732,11 +860,11 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         lpdf = zero
         for li, kind in enumerate(light_kinds):
             if kind == int(LightKind.RECT):
-                na, ua, va = (light_ref[li, 0], light_ref[li, 1],
-                              light_ref[li, 2])
-                k = light_ref[li, 3]
-                a0, a1, b0, b1 = (light_ref[li, 4], light_ref[li, 5],
-                                  light_ref[li, 6], light_ref[li, 7])
+                na, ua, va = (light_ref[0, li], light_ref[1, li],
+                              light_ref[2, li])
+                k = light_ref[3, li]
+                a0, a1, b0, b1 = (light_ref[4, li], light_ref[5, li],
+                                  light_ref[6, li], light_ref[7, li])
                 d_n = _axis_comp(wi, na)
                 t_l = ((k - _axis_comp(p, na))
                        / jnp.where(jnp.abs(d_n) < 1e-12, 1e-12, d_n))
@@ -748,8 +876,8 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 pdf_l = t_l * t_l / jnp.maximum(jnp.abs(d_n) * area, 1e-12)
                 lpdf += jnp.where(inside_l, pdf_l, 0.0)
             else:  # lights.py:_sphere_pdf
-                cen = (light_ref[li, 0], light_ref[li, 1], light_ref[li, 2])
-                rad = light_ref[li, 3]
+                cen = (light_ref[0, li], light_ref[1, li], light_ref[2, li])
+                rad = light_ref[3, li]
                 oc = _sub3(p, cen)
                 b_l = _dot3(oc, wi)
                 c_l = _dot3(oc, oc) - rad * rad
@@ -844,7 +972,17 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     dxo[:], dyo[:], dzo[:] = out_d
     bxo[:], byo[:], bzo[:] = out_b
     rxo[:], ryo[:], rzo[:] = radiance
-    alive_o[:] = (new_alive & alive).astype(jnp.int32)
+    if not regen:
+        alive_o[:] = (new_alive & alive).astype(jnp.int32)
+    else:
+        # the depth cap lives in the XLA loop body for the plain variant
+        # (regen.py:158); in-kernel it folds into alive so the next
+        # bounce's regeneration sees capped lanes as dead
+        alive_fin = new_alive & alive & (depth + 1 < max_depth)
+        alive_o[:] = alive_fin.astype(jnp.int32)
+        # finished = was-alive (post-regeneration) & ~alive: these lanes'
+        # radiance is flushed to the image by the caller this iteration
+        fin_o[:] = (alive & ~alive_fin).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -860,7 +998,10 @@ def _build_tables(scene: Scene, flags):
     if S:
         dt = jnp.maximum(scene.sph_times[:, 1] - scene.sph_times[:, 0],
                          1e-20)
-        flip_sign = jnp.where(scene.sph_flip, -1.0, 1.0).astype(f32)
+        # stored-normal sign: flip_normals XOR env (env domes shade with
+        # the inward normal — intersect.py:290)
+        flip_sign = jnp.where(scene.sph_flip ^ scene.sph_env,
+                              -1.0, 1.0).astype(f32)
         sph = jnp.concatenate([
             scene.sph_center0.astype(f32),
             (scene.sph_center1 - scene.sph_center0).astype(f32),
@@ -869,7 +1010,7 @@ def _build_tables(scene: Scene, flags):
             scene.sph_radius[:, None].astype(f32),
             scene.sph_mat[:, None].astype(f32),
             flip_sign[:, None],
-            jnp.zeros((S, 1), f32),
+            scene.sph_env.astype(f32)[:, None],   # always-hit env dome
         ], axis=1)                                               # (S, 12)
     else:
         sph = jnp.zeros((1, 12), f32)
@@ -940,7 +1081,12 @@ def _build_tables(scene: Scene, flags):
         ], axis=1)                                              # (M, 10)
     else:
         med = jnp.zeros((1, 10), f32)
-    return sph, rect, mat, light, med
+    # TRANSPOSED to (fields, entries): SMEM rows are padded to 512 B, so
+    # an entries-major (S, 12) sphere table burns 512 B *per sphere* —
+    # 1 MB of the chip's 1 MB SMEM at 2048 spheres (measured OOM).
+    # Fields-major keeps the row count fixed (12 rows) and the per-row
+    # payload dense (4 B x entries), lifting the sphere cap to 4096.
+    return sph.T, rect.T, mat.T, light.T, med.T
 
 
 def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
@@ -1037,31 +1183,9 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
     needs_defer = (int(TextureType.IMAGE) in flags.tex_kinds
                    or int(TextureType.NOISE) in flags.tex_kinds)
     if needs_defer:
-        from srt_tpu.materials.textures import texture_value
-        from srt_tpu.render.intersect import _sphere_uv
-        mask = dtex >= 0
-        is_alb = (dtex & 2) == 2
-        tex_id = jnp.clip(dtex >> 2, 0, scene.tex_type.shape[0] - 1)
-        is_rect = (dtex & 1) == 1
-        unit = jnp.stack([unflat(du), unflat(dv), unflat(dw)], axis=-1)
-        sph_uv = _sphere_uv(unit)
-        u = jnp.where(is_rect, unflat(du), sph_uv[..., 0])
-        v = jnp.where(is_rect, unflat(dv), sph_uv[..., 1])
-        uv = jnp.stack([u, v], axis=-1)
-        # hit position for Perlin: o_out IS the hit point on scatter
-        # lanes (the only lanes that can carry an albedo deferral).
-        # Without NOISE in the scene, skip texture_value's extra table
-        # gathers (they cost ~30% of ball_scenes' throughput) — every
-        # deferred tag is then an IMAGE lookup.
-        if int(TextureType.NOISE) in flags.tex_kinds:
-            col = texture_value(scene, tex_id, uv, o_out, flags)
-        else:
-            from srt_tpu.materials.textures import _image_value
-            col = _image_value(scene, tex_id, u, v)
-        radiance_out = radiance_out + jnp.where(
-            (mask & ~is_alb)[:, None], state["beta"] * col, 0.0)
-        beta_out = jnp.where((mask & is_alb)[:, None], beta_out * col,
-                             beta_out)
+        radiance_out, beta_out = _deferred_texture(
+            scene, flags, dtex, unflat(du), unflat(dv), unflat(dw),
+            o_out, state["beta"], radiance_out, beta_out)
 
     return dict(
         o=o_out,
@@ -1073,3 +1197,173 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         salt=state["salt"],
         depth=state["depth"] + 1,
     )
+
+
+def _deferred_texture(scene: Scene, flags, dtex, du, dv, dw, o_out,
+                      beta_in, radiance_out, beta_out):
+    """Evaluate the kernel's deferred-texture tags in XLA -> updated
+    (radiance, beta), all flat (N, ...) arrays.
+
+    Tag = tex_id*4 | (albedo ? 2 : 0) | (rect-uv ? 1 : 0); -1 = nothing
+    deferred. Emission lanes add ``beta_in * tex`` to radiance; albedo
+    lanes were shaded with albedo 1 in-kernel, so the texture multiplies
+    into the outgoing beta. Without NOISE in the scene every deferred tag
+    is an IMAGE lookup, evaluated full-width (3 gathers/lane; env-image
+    scenes tag most of the wavefront, where compaction would only add
+    overhead). With NOISE, the Perlin marble (7 octaves x 8 corners x 4
+    gathers/lane — it alone halved ``final``'s throughput full-width,
+    PERF.md) makes the whole deferred evaluation run on the
+    stream-compacted tagged lanes (textures.texture_value_compact; exact
+    full-width fallback above 1/8 wavefront occupancy). The hit position
+    for Perlin: ``o_out`` IS the hit point on scatter lanes (the only
+    lanes that can carry an albedo deferral).
+    """
+    from srt_tpu.render.intersect import _sphere_uv
+    mask = dtex >= 0
+    is_alb = (dtex & 2) == 2
+    tex_id = jnp.clip(dtex >> 2, 0, scene.tex_type.shape[0] - 1)
+    is_rect = (dtex & 1) == 1
+    unit = jnp.stack([du, dv, dw], axis=-1)
+    sph_uv = _sphere_uv(unit)
+    u = jnp.where(is_rect, du, sph_uv[..., 0])
+    v = jnp.where(is_rect, dv, sph_uv[..., 1])
+    uv = jnp.stack([u, v], axis=-1)
+    if int(TextureType.NOISE) in flags.tex_kinds:
+        from srt_tpu.materials.textures import texture_value_compact
+        cap = -(-max(256, dtex.shape[0] // 8) // 128) * 128
+        col = texture_value_compact(scene, tex_id, uv, o_out, flags,
+                                    mask, cap)
+    else:
+        from srt_tpu.materials.textures import _image_value
+        col = _image_value(scene, tex_id, u, v)
+    radiance_out = radiance_out + jnp.where((mask & ~is_alb)[:, None],
+                                            beta_in * col, 0.0)
+    beta_out = jnp.where((mask & is_alb)[:, None], beta_out * col, beta_out)
+    return radiance_out, beta_out
+
+
+# ---------------------------------------------------------------------------
+# one-launch-per-bounce: the regeneration engine's whole loop body
+# ---------------------------------------------------------------------------
+
+_REGEN_SPP_CAP = 64   # sobol jitter rows unrolled as static SMEM selects
+
+
+def fused_regen_available(scene: Scene, flags, spp: int, mode: str,
+                          rr_start: int, max_depth: int) -> bool:
+    """Gate for the in-kernel-regeneration engine: kernel-eligible scene,
+    no triangle feed (the external-hit kernel would split the launch
+    anyway), and a statically unrollable sobol jitter table."""
+    if mode == "off" or flags is None:
+        return False
+    if (flags.fused_deferred_albedo and rr_start < max_depth):
+        return False  # same roulette/deferred-albedo exclusion as regen.py
+    if not fused_bounce_available(flags, interpret=mode == "interpret"):
+        return False
+    return scene.n_tris == 0 and 1 <= spp <= _REGEN_SPP_CAP
+
+
+def fused_regen_bounce(scene: Scene, ps: dict, camera, sobol_tab, seed, *,
+                       max_depth: int, rr_start: int, flags,
+                       pdf_floor: float, width: int, height: int, spp: int,
+                       total_work: int, n_lanes: int,
+                       interpret: bool = False) -> dict:
+    """One full regeneration-engine loop body as ONE kernel launch.
+
+    ``ps`` is the *plane-resident* wavefront state (all ``(rows, 128)``):
+    ``ox oy oz dx dy dz time bx by bz rx ry rz salt depth alive pix`` plus
+    the ``(1,)`` i32 work ``cursor``. The kernel regenerates dead lanes
+    from the work queue (cumsum ranks via MXU prefix matmuls, sequential-
+    grid SMEM cursor), generates their camera rays and sampler salts
+    in-kernel, then runs the fused bounce — the XLA loop body shrinks to
+    the image scatter-add (``regen.py``). Returns the updated plane state
+    plus ``fin`` (finished-lane mask) and deferred-texture outputs.
+    """
+    rows = ps["ox"].shape[0]
+    grid = rows // _TILE_ROWS
+    f32 = jnp.float32
+
+    sph, rect, mat, light, med = _build_tables(scene, flags)
+    cam_tab = jnp.concatenate([
+        jnp.asarray(camera.origin, f32),
+        jnp.asarray(camera.lower_left, f32),
+        jnp.asarray(camera.horizontal, f32),
+        jnp.asarray(camera.vertical, f32),
+        jnp.asarray(camera.u, f32), jnp.asarray(camera.v, f32),
+        jnp.stack([jnp.asarray(camera.lens_radius, f32),
+                   jnp.asarray(camera.time0, f32),
+                   jnp.asarray(camera.time1, f32)])])          # (21,)
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1)
+
+    needs_defer = (int(TextureType.IMAGE) in flags.tex_kinds
+                   or int(TextureType.NOISE) in flags.tex_kinds)
+
+    kernel = functools.partial(
+        _kernel,
+        n_sph=int(scene.n_spheres), n_rect=int(scene.n_rects),
+        n_mat=int(scene.mat_type.shape[0]), n_media=int(scene.n_media),
+        has_ext=False, light_kinds=tuple(flags.light_kinds),
+        mat_kinds=tuple(flags.mat_kinds), tex_kinds=tuple(flags.tex_kinds),
+        moving=bool(flags.moving), max_depth=int(max_depth),
+        rr_start=int(rr_start), pdf_floor=float(pdf_floor),
+        regen=True, width=int(width), height=int(height), spp=int(spp),
+        total_work=int(total_work), n_lanes=int(n_lanes),
+        defer_beta=needs_defer)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_f = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    shape_f = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
+
+    state_ins = [ps["ox"], ps["oy"], ps["oz"], ps["dx"], ps["dy"],
+                 ps["dz"], ps["time"], ps["bx"], ps["by"], ps["bz"],
+                 ps["rx"], ps["ry"], ps["rz"], ps["salt"], ps["depth"],
+                 ps["alive"], ps["pix"]]
+    # ordered exactly as the kernel writes them:
+    # 12 f32 (o,d,beta,radiance) + alive i32 + dtex i32 + du/dv/dw f32
+    # + pix i32 + fin i32 + time f32 + depth i32 + salt i32 + cursor (1,)
+    out_shape = ([shape_f] * 12 + [shape_i, shape_i, shape_f, shape_f,
+                                   shape_f]
+                 + [shape_i, shape_i, shape_f, shape_i, shape_i]
+                 + [jax.ShapeDtypeStruct((1,), jnp.int32)]
+                 + ([shape_f] * 3 if needs_defer else []))
+    out_specs = ([tile_f] * 17 + [tile_f] * 5 + [smem]
+                 + ([tile_f] * 3 if needs_defer else []))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[smem] * 5 + [smem] * 4 + [tile_f] * 17,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(sph, rect, mat, light, med, cam_tab, sobol_tab, seed_arr,
+      ps["cursor"], *state_ins)
+
+    (ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz,
+     alive_o, dtex, du, dv, dw,
+     pix_o, fin_o, time_o, depth_o, salt_o, cursor_o) = outs[:23]
+
+    if needs_defer:
+        bix, biy, biz = outs[23:26]
+        flat = lambda a: a.reshape(-1)                       # noqa: E731
+        o_out = jnp.stack([flat(ox), flat(oy), flat(oz)], axis=-1)
+        beta_in = jnp.stack([flat(bix), flat(biy), flat(biz)], axis=-1)
+        radiance = jnp.stack([flat(rx), flat(ry), flat(rz)], axis=-1)
+        beta = jnp.stack([flat(bx), flat(by), flat(bz)], axis=-1)
+        radiance, beta = _deferred_texture(
+            scene, flags, flat(dtex), flat(du), flat(dv), flat(dw),
+            o_out, beta_in, radiance, beta)
+        rx = radiance[:, 0].reshape(rows, 128)
+        ry = radiance[:, 1].reshape(rows, 128)
+        rz = radiance[:, 2].reshape(rows, 128)
+        bx = beta[:, 0].reshape(rows, 128)
+        by = beta[:, 1].reshape(rows, 128)
+        bz = beta[:, 2].reshape(rows, 128)
+
+    return dict(ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz, time=time_o,
+                bx=bx, by=by, bz=bz, rx=rx, ry=ry, rz=rz, salt=salt_o,
+                depth=depth_o, alive=alive_o, pix=pix_o,
+                cursor=cursor_o, fin=fin_o)

@@ -60,6 +60,78 @@ def _use_fused_bounce(flags, mode: str, rr_start: int,
 @partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth",
                                    "rr_start", "wavefront", "flags",
                                    "pdf_floor", "pallas_mode"))
+def _render_regen_fused(scene: Scene, camera: Camera, sobol_pts, seed, *,
+                        width: int, height: int, spp: int, max_depth: int,
+                        rr_start: int, wavefront: int, flags=None,
+                        pdf_floor: float = 1e-9,
+                        pallas_mode: str = "auto"):
+    """One-launch-per-bounce variant of :func:`_render_regen`: the lane
+    regeneration (work-queue cumsum), camera ray generation and the whole
+    bounce run inside ONE Pallas kernel (``pallas/bounce.py``'s regen
+    mode); the XLA loop body is just the image scatter-add and metric
+    sums. The wavefront state stays plane-resident ``(rows, 128)`` across
+    the ``while_loop`` — no per-bounce pack/unpack."""
+    from srt_tpu.pallas.bounce import fused_regen_bounce
+    n_pixels = width * height
+    total_work = n_pixels * spp
+    n = min(wavefront, total_work)
+    tile = 32 * 128
+    rows = (-(-n // tile) * tile) // 128
+    f32 = jnp.float32
+    zp = jnp.zeros((rows, 128), f32)
+    zi = jnp.zeros((rows, 128), jnp.int32)
+    state = dict(
+        cursor=jnp.zeros((1,), jnp.int32),
+        n_vertices=jnp.uint32(0),
+        nan_scrubbed=jnp.uint32(0),
+        acc=jnp.zeros((n_pixels, 3), f32),
+        ox=zp, oy=zp, oz=zp, dx=zp, dy=zp, dz=zp + 1.0, time=zp,
+        bx=zp, by=zp, bz=zp, rx=zp, ry=zp, rz=zp,
+        salt=zi, depth=zi, alive=zi, pix=zi)
+    sobol_tab = jnp.asarray(sobol_pts, f32).T        # (2, spp) SMEM table
+    interpret = pallas_mode == "interpret"
+
+    def cond(st):
+        return (st["cursor"][0] < total_work) | jnp.any(st["alive"] != 0)
+
+    def body(st):
+        ps = {k: st[k] for k in ("ox", "oy", "oz", "dx", "dy", "dz",
+                                 "time", "bx", "by", "bz", "rx", "ry",
+                                 "rz", "salt", "depth", "alive", "pix",
+                                 "cursor")}
+        nxt = fused_regen_bounce(
+            scene, ps, camera, sobol_tab, seed,
+            max_depth=max_depth, rr_start=rr_start, flags=flags,
+            pdf_floor=pdf_floor, width=width, height=height, spp=spp,
+            total_work=total_work, n_lanes=n, interpret=interpret)
+
+        # flush finished paths into the image (NaN-scrubbed + counted,
+        # de_nan per Raytracing_n.cpp:47-53)
+        fin = nxt.pop("fin").reshape(-1) != 0
+        contrib = jnp.where(
+            fin[:, None],
+            jnp.stack([nxt["rx"].reshape(-1), nxt["ry"].reshape(-1),
+                       nxt["rz"].reshape(-1)], axis=-1), 0.0)
+        is_nan = jnp.isnan(contrib)
+        contrib = jnp.where(is_nan, 0.0, contrib)
+        acc = st["acc"].at[nxt["pix"].reshape(-1)].add(contrib)
+
+        was_alive = (nxt["alive"] != 0) | fin.reshape(rows, 128)
+        out = dict(nxt,
+                   acc=acc,
+                   n_vertices=st["n_vertices"]
+                   + jnp.sum(was_alive, dtype=jnp.uint32),
+                   nan_scrubbed=st["nan_scrubbed"]
+                   + jnp.sum(is_nan, dtype=jnp.uint32))
+        return out
+
+    state = jax.lax.while_loop(cond, body, state)
+    return state["acc"], state["n_vertices"], state["nan_scrubbed"]
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "max_depth",
+                                   "rr_start", "wavefront", "flags",
+                                   "pdf_floor", "pallas_mode"))
 def _render_regen(scene: Scene, camera: Camera, sobol_pts, seed, *,
                   width: int, height: int, spp: int, max_depth: int,
                   rr_start: int, wavefront: int, flags=None,
@@ -208,14 +280,21 @@ def render_regen(scene: Scene, camera: Camera, config,
     from srt_tpu.render.intersect import _pallas_mode
 
     wavefront = getattr(config, "wavefront", 1 << 17)
+    flags = scene_flags(scene, config)
+    mode = _pallas_mode()
+    from srt_tpu.pallas.bounce import fused_regen_available
+    engine = (_render_regen_fused
+              if fused_regen_available(scene, flags, spp, mode,
+                                       config.rr_start, config.max_depth)
+              else _render_regen)
     t0 = _time.time()
-    acc, n_vertices, nan_scrubbed = _render_regen(
+    acc, n_vertices, nan_scrubbed = engine(
         scene, camera, jit_pts, config.seed,
         width=w, height=h, spp=spp,
         max_depth=config.max_depth, rr_start=config.rr_start,
-        wavefront=wavefront, flags=scene_flags(scene, config),
+        wavefront=wavefront, flags=flags,
         pdf_floor=getattr(config, "pdf_floor", 1e-9),
-        pallas_mode=_pallas_mode())
+        pallas_mode=mode)
     img = (acc / spp).reshape(h, w, 3)
     if metrics:
         img.block_until_ready()

@@ -37,11 +37,11 @@ from srt_tpu.scene.ir import Scene
 
 @partial(jax.jit, static_argnames=("n_steps", "wavefront", "max_depth",
                                    "rr_start", "flags", "pdf_floor",
-                                   "checkpoint", "unroll"))
+                                   "checkpoint", "unroll", "pallas_mode"))
 def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                 wavefront: int, max_depth: int, rr_start: int = 1 << 30,
                 flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True,
-                unroll: int = 1):
+                unroll: int = 1, pallas_mode: str = "off"):
     """Trace a queue of N primary rays -> ((N, 3) radiance, (N,) finished).
 
     ``finished`` is 1.0 for rays whose path terminated naturally inside the
@@ -51,6 +51,13 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     """
     n = rays.origin.shape[0]
     m = min(wavefront, n)
+
+    # Fused-kernel forward with an XLA backward (pallas/bounce_vjp.py):
+    # same static dispatch story as regen.py — `pallas_mode` rides the jit
+    # cache key, the heavy eligibility test is in SceneFlags.
+    from srt_tpu.pallas.bounce_vjp import (bounce_step_hybrid,
+                                           hybrid_available)
+    use_hybrid = hybrid_available(flags, pallas_mode)
 
     parity = flags is not None and flags.ref_parity
     zeros3 = jnp.zeros((m, 3), jnp.float32)
@@ -97,8 +104,14 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
         was_alive = st["alive"]
         subkeys = ("o", "d", "time", "beta", "radiance", "alive", "salt",
                    "depth") + (("stale",) if parity else ())
-        nxt = bounce_step(scene, {k2: st[k2] for k2 in subkeys},
-                          max_depth, rr_start, flags, pdf_floor)
+        substate = {k2: st[k2] for k2 in subkeys}
+        if use_hybrid:
+            nxt = bounce_step_hybrid(scene, substate, max_depth, rr_start,
+                                     flags, pdf_floor,
+                                     pallas_mode == "interpret")
+        else:
+            nxt = bounce_step(scene, substate, max_depth, rr_start, flags,
+                              pdf_floor)
         alive = nxt["alive"] & (nxt["depth"] < max_depth)
 
         # --- emit finished paths as stacked scan outputs -----------------

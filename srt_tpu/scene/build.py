@@ -454,6 +454,16 @@ class SceneBuilder:
 
         atlas = (np.concatenate(self._atlas) if self._atlas
                  else np.zeros((0,), f32))
+        # Packed rgb8 twin for 1-gather texel lookups (ir.Scene.atlas_u32):
+        # exact iff every value is a u8/255 multiple (true for decoded
+        # image assets; float-sourced atlases keep the 3-gather f32 path).
+        atlas_u32 = None
+        if atlas.size:
+            q = np.round(atlas * 255.0)
+            if (q.astype(f32) / np.float32(255.0) == atlas).all():
+                rgb = q.astype(np.uint32).reshape(-1, 3)
+                atlas_u32 = ((rgb[:, 0] << 16) | (rgb[:, 1] << 8)
+                             | rgb[:, 2]).astype(np.int32)
         if self._merl:
             merl = np.stack(self._merl)
         else:
@@ -482,7 +492,9 @@ class SceneBuilder:
             tex_color2=j(arr(self._tex_color2, f32, (3,))),
             tex_scale=j(arr(self._tex_scale, f32, ())),
             tex_img=j(arr(self._tex_img, i32, (3,))),
-            atlas=j(atlas), perlin_vec=j(pv), perlin_perm=j(perm),
+            atlas=j(atlas),
+            atlas_u32=(j(atlas_u32) if atlas_u32 is not None else None),
+            perlin_vec=j(pv), perlin_perm=j(perm),
             merl=j(merl), light_kind=j(lk), light_index=j(li),
             **cluster_kw,
             **med_tri_kw,

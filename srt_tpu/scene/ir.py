@@ -139,12 +139,15 @@ def _fused_bounce_eligible(scene, mat_types, tex_types) -> bool:
         return False
     if scene.n_spheres + scene.n_rects + scene.n_tris == 0:
         return False
-    if scene.n_spheres > 1024 or scene.n_rects > 64 or scene.n_lights > 8:
+    # Sphere cap: the kernel's SMEM table is (S, 12) f32 and the sweep is
+    # a serial fori — both measured fine to 4k spheres (the 1006-sphere
+    # `final` cube adds ~4% over the 122-sphere default scene; see
+    # tests/test_fused_bounce.py::test_many_sphere_scene). Beyond the cap
+    # the XLA sphere path (optionally its BVH) takes over.
+    if scene.n_spheres > 4096 or scene.n_rects > 64 or scene.n_lights > 8:
         return False
     if scene.mat_type.shape[0] > 512:
         return False
-    if bool(np.asarray(scene.sph_env).any()):
-        return False  # env always-hit variant not in the kernel
     if scene.n_media:
         # analytic sphere/box media run in-kernel; mesh-bounded media
         # (kind 2) keep the XLA bounce
@@ -246,6 +249,13 @@ class Scene(NamedTuple):
 
     # --- image atlas: all image textures flattened rgb f32 ----------------
     atlas: jnp.ndarray         # (A,) f32 (3 floats per texel, row-major)
+    # Packed rgb8-in-i32 twin of ``atlas`` (A/3,), built iff every atlas
+    # value is exactly a u8/255 multiple (always true for decoded image
+    # assets). One texel = ONE gather instead of three — XLA lowers big
+    # random gathers to a serial per-element loop on TPU, so this is a
+    # ~3x cut of the dominant cost of image-textured scenes (PERF.md).
+    # ``diff.splice`` drops it when the f32 atlas itself is optimized.
+    # Declared after the required fields (see end of class).
 
     # --- Perlin tables (perlin.h:28-97), fixed-seed host generated --------
     perlin_vec: jnp.ndarray    # (256, 3) random unit gradients
@@ -288,6 +298,9 @@ class Scene(NamedTuple):
     sbvh_count: jnp.ndarray | None = None    # (Bs,) i32
     sbvh_ids: jnp.ndarray | None = None      # (Sn,) i32 original sphere id
     sph_env_ids: jnp.ndarray | None = None   # (Se,) i32 env sphere ids
+
+    # --- packed rgb8 atlas twin (see comment at ``atlas``) ----------------
+    atlas_u32: jnp.ndarray | None = None     # (A/3,) i32 (r<<16|g<<8|b)
 
     @property
     def n_spheres(self) -> int:

@@ -251,3 +251,42 @@ def test_fog_inverse_recovers_albedo_roughness_light():
     assert e1[0] < 0.5 * e0[0], ("albedo", e0, e1)
     assert e1[1] < 0.5 * e0[1], ("light", e0, e1)
     assert e1[2] < e0[2], ("roughness", e0, e1)
+
+
+def test_hybrid_kernel_vjp_matches_xla(monkeypatch):
+    """The fused-kernel-forward / XLA-backward bounce
+    (pallas/bounce_vjp.py): loss and gradient through the regen engine
+    with the kernel (interpret mode) must match the pure-XLA path.
+
+    Small per-bounce float differences between the two forwards compound
+    through the estimator, so the contract is close agreement, not
+    bitwise equality (see tests/test_fused_bounce.py for the per-bounce
+    bound)."""
+    from srt_tpu.scene.ir import SceneFlags
+
+    scene, cam = _cornellette()
+    assert SceneFlags.of(scene).fused_bounce  # eligible for the kernel
+    w = h = 8
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = render_pixels(scene, cam, pixel_ids, width=w, height=h,
+                           spp=4, max_depth=3, seed=99)
+
+    def run():
+        def f(params):
+            return image_loss(params, scene, cam, target, pixel_ids,
+                              width=w, height=h, spp=4, max_depth=3,
+                              seed=7)
+        params = {"tex_color": scene.tex_color,
+                  "mat_params": scene.mat_params}
+        loss, g = jax.value_and_grad(f)(params)
+        return float(loss), np.asarray(g["tex_color"]), \
+            np.asarray(g["mat_params"])
+
+    monkeypatch.setenv("SRT_TPU_PALLAS", "off")
+    loss_x, gtex_x, gmat_x = run()
+    monkeypatch.setenv("SRT_TPU_PALLAS", "interpret")
+    loss_k, gtex_k, gmat_k = run()
+
+    assert abs(loss_k - loss_x) < 1e-4 + 1e-3 * abs(loss_x)
+    np.testing.assert_allclose(gtex_k, gtex_x, rtol=5e-3, atol=1e-5)
+    np.testing.assert_allclose(gmat_k, gmat_x, rtol=5e-3, atol=1e-5)

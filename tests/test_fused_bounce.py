@@ -53,16 +53,53 @@ def test_flags_gate_extended_coverage():
     f = SceneFlags.of(final(aspect=1.0)[0])
     assert f.fused_bounce and f.fused_deferred_albedo
     assert SceneFlags.of(simple_light(aspect=1.0)[0]).fused_bounce
-    # two_perlin carries an env (always-hit) ambient dome -> excluded
-    assert not SceneFlags.of(two_perlin_spheres(aspect=1.0)[0]).fused_bounce
+    # env (always-hit) ambient domes are in-kernel since round 5
+    assert SceneFlags.of(two_perlin_spheres(aspect=1.0)[0]).fused_bounce
 
 
-def test_flags_gate_env_sphere_excluded():
+def test_many_sphere_scene():
+    """Sphere cap at 4096 (was 1024): the fields-major SMEM tables keep a
+    2048-sphere scene on the kernel path (entries-major rows were padded
+    to 512 B each — 1 MB SMEM OOM at 2048), and the image matches XLA.
+    Measured on TPU: 2048 spheres = 3.8M rays/s through the kernel."""
+    rng = np.random.default_rng(3)
     b = SceneBuilder()
-    b.sphere((0, 0, 0), 100.0, b.diffuse_light(b.constant((1, 1, 1))),
-             env=True)
-    b.sphere((0, 0, 5), 1.0, b.lambertian(b.constant((0.5, 0.5, 0.5))))
-    assert not SceneFlags.of(b.build()).fused_bounce
+    white = b.lambertian(b.constant((0.73, 0.73, 0.73)))
+    light = b.diffuse_light(b.constant((7.0, 7.0, 7.0)))
+    lid = b.xz_rect(123, 423, 147, 412, 554, light, flip=True)
+    for c in (rng.random((2048, 3)).astype(np.float32) * 330.0
+              + np.array([-100, 100, 300], np.float32)):
+        b.sphere(c, 8.0, white)
+    b.light_rect(lid)
+    scene = b.build()
+    assert SceneFlags.of(scene).fused_bounce
+    from srt_tpu.render.camera import Camera
+    cam = Camera.look_at((478, 278, -600), (278, 278, 0), vfov=40.0,
+                         aspect=1.0)
+    img_k, img_x = _render_both(scene, cam, width=16, height=16, spp=2,
+                                max_depth=3)
+    assert np.isfinite(img_k).all()
+    same = np.isclose(img_k, img_x, rtol=1e-4, atol=1e-5).mean()
+    assert same > 0.95, same
+
+
+def test_env_sphere_scene_matches_xla():
+    """Env (always-hit) dome in-kernel: far-crossing hit with the inward
+    normal (env_sphere.h:27-38) — image equivalence vs the XLA bounce,
+    including a lane that *starts* on the dome's emitter path."""
+    from srt_tpu.scene.library import two_perlin_spheres
+    scene, cam, _ = two_perlin_spheres(aspect=1.0)
+    assert SceneFlags.of(scene).fused_bounce
+    img_k, img_x = _render_both(scene, cam, width=32, height=32, spp=4,
+                                max_depth=4)
+    assert np.isfinite(img_k).all()
+    # chaotic-divergence contract (see test_ball_scenes_image_statistics):
+    # means agree, most pixels bitwise-equal (the one-launch engine's
+    # in-kernel camera raygen adds ulp-level knife-edge flips on a few
+    # percent of pixels, hence 0.9 rather than the per-bounce bound)
+    assert abs(img_k.mean() - img_x.mean()) < 0.02 * max(img_x.mean(), 1e-6)
+    same = np.isclose(img_k, img_x, rtol=1e-4, atol=1e-5).mean()
+    assert same > 0.90, same
 
 
 def test_ball_scenes_bounce_equivalence():

@@ -219,3 +219,35 @@ def test_merl_renders_and_differentiates():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert g.sum() > 0.0
+
+
+def test_atlas_u32_packing_matches_f32():
+    """The packed rgb8 atlas twin (Scene.atlas_u32, one gather per texel)
+    must reproduce the f32 atlas path to <= 1 ulp (TPU lowers /255.0 with
+    excess precision; on CPU it is bit-exact). Built for every u8-decoded
+    image; float-sourced atlases fall back (atlas_u32 None)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from srt_tpu.materials.textures import _image_value
+    from srt_tpu.scene.build import SceneBuilder
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    b = SceneBuilder()
+    t = b.image(img)
+    b.sphere((0, 0, 0), 1.0, b.lambertian(t))
+    lid = b.xz_rect(-1, 1, -1, 1, 5, b.diffuse_light(b.constant((4, 4, 4))))
+    b.light_rect(lid)
+    scene = b.build()
+    assert scene.atlas_u32 is not None
+
+    n = 2048
+    tid = jnp.zeros((n,), jnp.int32) + t
+    u = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = jnp.asarray(rng.random(n, dtype=np.float32))
+    fast = np.asarray(_image_value(scene, tid, u, v))
+    slow = np.asarray(_image_value(scene._replace(atlas_u32=None), tid, u, v))
+    np.testing.assert_allclose(fast, slow, atol=1.2e-7, rtol=0)
+    # round-trips the exact u8 grid
+    assert set(np.unique(np.round(fast * 255))) <= set(range(256))
