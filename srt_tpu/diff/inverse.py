@@ -48,12 +48,39 @@ def splice(scene: Scene, params: dict[str, Any]) -> Scene:
     return scene._replace(**params)
 
 
+#: Scene fields whose cotangents only exist on the geometric
+#: (intersection / sampling-measure) paths. When none of them is being
+#: optimized, detaching them is *exact* — a parameter that never appears
+#: in these arrays has zero gradient through them by definition — and it
+#: lets XLA dead-code-eliminate the transpose of the whole intersection
+#: sweep from the backward pass (the single largest non-shading cost of
+#: a train step; tools/trainbench.py).
+_GEOM_FIELDS = frozenset({
+    "sph_center0", "sph_center1", "sph_times", "sph_radius",
+    "rect_bounds", "rect_k",
+    "tri_p0", "tri_p1", "tri_p2", "tri_uv", "tri_n",
+    "med_center", "med_radius", "med_half", "med_density",
+    "bvh_lo", "bvh_hi",
+})
+
+
+def freeze_geometry(scene: Scene, exclude=()) -> Scene:
+    """``stop_gradient`` every geometric Scene field not in ``exclude``."""
+    upd = {}
+    for f in _GEOM_FIELDS - set(exclude):
+        v = getattr(scene, f)
+        if v is not None:
+            upd[f] = jax.lax.stop_gradient(v)
+    return scene._replace(**upd)
+
+
 def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
                   spp: int, max_depth: int, seed, engine: str = "regen",
                   wavefront: int = 1 << 13,
                   depth_budget: float = 4.0,
                   drain: int | None = 12,
-                  unroll: int = 1) -> jnp.ndarray:
+                  unroll: int = 1,
+                  frozen_geometry: bool = False) -> jnp.ndarray:
     """Mean radiance per pixel (P, 3), fully traceable/differentiable.
 
     Unlike the forward-path :func:`srt_tpu.render.api.render`, the pixel
@@ -96,7 +123,8 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
         radiance, _ = trace_queue(scene, rays, sampler.salt, n_steps=steps,
                                   wavefront=wavefront, max_depth=max_depth,
                                   flags=flags, unroll=unroll,
-                                  pallas_mode=_pallas_mode())
+                                  pallas_mode=_pallas_mode(),
+                                  frozen_geometry=frozen_geometry)
     else:
         radiance = trace(scene, rays, sampler, max_depth=max_depth,
                          rr_start=1 << 30, flags=flags)
@@ -104,11 +132,27 @@ def render_pixels(scene: Scene, camera, pixel_ids, *, width: int, height: int,
 
 
 def image_loss(params, scene, camera, target, pixel_ids, *, width, height,
-               spp, max_depth, seed, engine="regen", engine_kw=None):
-    """L2 loss between the rendered pixels and target pixels (P, 3)."""
+               spp, max_depth, seed, engine="regen", engine_kw=None,
+               frozen_geometry: bool | None = None):
+    """L2 loss between the rendered pixels and target pixels (P, 3).
+
+    ``frozen_geometry``: detach the geometric scene fields inside the
+    hybrid bounce's *backward recompute* (pallas/bounce_vjp.py) so the
+    intersection transpose is dead-code-eliminated. ``None`` (default)
+    auto-enables exactly when no optimized param is geometric — then the
+    dropped cotangents are zero by definition, so this is a free,
+    mathematically exact speedup (see :data:`_GEOM_FIELDS`); pass
+    ``False`` to force full geometry gradients regardless. Deliberately
+    NOT applied to the primal scene: a primal ``stop_gradient`` turns
+    those values into checkpoint-saved residuals instead of recomputed
+    ones, which measured *slower* (tools/trainbench.py).
+    """
+    if frozen_geometry is None:
+        frozen_geometry = not (set(params) & _GEOM_FIELDS)
     img = render_pixels(splice(scene, params), camera, pixel_ids,
                         width=width, height=height, spp=spp,
                         max_depth=max_depth, seed=seed, engine=engine,
+                        frozen_geometry=frozen_geometry,
                         **(engine_kw or {}))
     return jnp.mean((img - target) ** 2)
 

@@ -14,27 +14,50 @@ import numpy as np
 from srt_tpu.scene.ir import Scene, TextureType, has_tex
 
 
+def _lut256(table_f32, idx):
+    """Exact 256-entry table lookup as a one-hot MXU matmul.
+
+    XLA lowers large random gathers to a serial per-element loop on TPU
+    (~20 ns/element — measured in PERF.md it made Perlin the single most
+    expensive texel in the framework). A one-hot matmul keeps the lookup
+    on the MXU and is *bit-exact*: the one-hot rows multiply the table by
+    exactly 1.0 or 0.0, which is lossless even through the split-bf16
+    HIGHEST-precision path, and the row sum adds one nonzero term.
+    ``idx``: (...,) int32 in [0, 256); ``table_f32``: (256,) or (256, k).
+    """
+    import jax
+    oh = (idx[..., None] == jnp.arange(256, dtype=idx.dtype)).astype(
+        jnp.float32)
+    return jnp.matmul(oh, table_f32, precision=jax.lax.Precision.HIGHEST)
+
+
 def perlin_noise(scene: Scene, p):
     """Gradient Perlin noise with hermite smoothing.
 
     Math of ``perlin.h:7-46``: 256-entry permutation tables xor-combined to
     index random unit gradients, trilinear hermite blend of corner dots.
     ``p``: (N, 3) -> (N,).
+
+    Table lookups run as one-hot MXU matmuls (:func:`_lut256`, bit-exact)
+    and the per-axis permutation reads are hoisted out of the corner loop
+    — 6 permutation + 8 gradient lookups per call instead of the naive
+    32 serial gathers.
     """
     pf = jnp.floor(p)
     uvw = p - pf                              # (N, 3) fractional
     ijk = pf.astype(jnp.int32)                # (N, 3)
     s = uvw * uvw * (3.0 - 2.0 * uvw)         # hermite per axis (N, 3)
 
-    perm = scene.perlin_perm                  # (3, 256)
+    permf = scene.perlin_perm.astype(jnp.float32)      # (3, 256)
+    # per-axis hashes for offsets 0/1 (values <= 255: exact through f32)
+    h = [[_lut256(permf[a], (ijk[..., a] + d) & 255).astype(jnp.int32)
+          for d in (0, 1)] for a in range(3)]
     acc = jnp.zeros_like(p[..., 0])
     for di in range(2):
         for dj in range(2):
             for dk in range(2):
-                hx = perm[0, (ijk[..., 0] + di) & 255]
-                hy = perm[1, (ijk[..., 1] + dj) & 255]
-                hz = perm[2, (ijk[..., 2] + dk) & 255]
-                g = scene.perlin_vec[hx ^ hy ^ hz]          # (N, 3)
+                g = _lut256(scene.perlin_vec,
+                            h[0][di] ^ h[1][dj] ^ h[2][dk])     # (N, 3)
                 weight = uvw - np.array([di, dj, dk], np.float32)
                 corner = jnp.sum(g * weight, axis=-1)
                 wx = s[..., 0] if di else (1.0 - s[..., 0])

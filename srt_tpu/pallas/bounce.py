@@ -55,11 +55,15 @@ _DIM_MIX = 12
 _DIM_LIGHT_PICK = 13
 _DIM_SAMPLE = 14
 _DIM_RR = 16
+_DIM_RETRY = 17          # parity resample rounds (4 dims each)
+_PARITY_RETRIES = 4      # = integrator._PARITY_RETRIES
 
 
 def fused_bounce_available(flags, interpret: bool = False) -> bool:
-    """Kernel dispatch gate (the heavy lifting is static, in SceneFlags)."""
-    if flags is None or not flags.fused_bounce or flags.ref_parity:
+    """Kernel dispatch gate (the heavy lifting is static, in SceneFlags).
+    ref_parity runs in-kernel since round 5 (the ``stale`` heap-slot
+    carry and the as-implemented Beckmann/O-N variants are ported)."""
+    if flags is None or not flags.fused_bounce:
         return False
     if interpret:
         return True
@@ -142,6 +146,7 @@ from srt_tpu.core.approx import (acos_as as _acos_poly,          # noqa: E402
                                  atan2_poly as _atan2_poly,
                                  cbrt_pos as _cbrt_pos,
                                  erf_as as _erf_poly,
+                                 erf_reference_buggy as _erf_buggy,
                                  erfinv_giles as _erfinv)
 
 
@@ -220,9 +225,11 @@ def _beckmann_lambda(w, ax, ay):
     return jnp.where(a > 1.6, 0.0, lam)
 
 
-def _beckmann_sample11(cos_t_i, u1, u2):
+def _beckmann_sample11(cos_t_i, u1, u2, parity: bool = False):
     """Exact transcription of BeckmannSample11 (see
-    materials/microfacet.py:_beckmann_sample11 — keep both in lockstep)."""
+    materials/microfacet.py:_beckmann_sample11 — keep both in lockstep).
+    ``parity`` selects the reference's broken Erf (common.h:40-44 typo)
+    for as-implemented golden matching."""
     erfinv = _erfinv
     r = jnp.sqrt(-jnp.log1p(-jnp.minimum(u1, 1.0 - 1e-7)))
     phi = 2.0 * np.float32(np.pi) * u2
@@ -235,7 +242,7 @@ def _beckmann_sample11(cos_t_i, u1, u2):
     cot_t = 1.0 / jnp.maximum(tan_t, 1e-20)
 
     a = jnp.full_like(u1, -1.0)
-    c = _erf_poly(cos_t)
+    c = (_erf_buggy if parity else _erf_poly)(cos_t)
     sample_x = jnp.maximum(u1, 1e-6)
     theta_i = _acos_poly(jnp.clip(cos_t, -0.999999, 0.999999))
     fit = 1.0 + theta_i * (-0.876 + theta_i * (0.4265 - 0.0594 * theta_i))
@@ -267,7 +274,7 @@ def _beckmann_sample11(cos_t_i, u1, u2):
             jnp.where(normal_inc, sy_normal, slope_y))
 
 
-def _sample_wh_visible(wo, ax, ay, u1, u2):
+def _sample_wh_visible(wo, ax, ay, u1, u2, parity: bool = False):
     """VNDF Beckmann half-vector (materials/microfacet.py:sample_wh_visible)."""
     flip = wo[2] < 0.0
     wi = _where3(flip, _neg3(wo), wo)
@@ -276,7 +283,7 @@ def _sample_wh_visible(wo, ax, ay, u1, u2):
     # the cosThetaI > 0.9999 normal-incidence branch vs the XLA path
     nrm = jnp.maximum(jnp.sqrt(_dot3(st, st)), 1e-20)
     st = (st[0] / nrm, st[1] / nrm, st[2] / nrm)
-    sx, sy = _beckmann_sample11(st[2], u1, u2)
+    sx, sy = _beckmann_sample11(st[2], u1, u2, parity)
     s_t = _sin_theta(st)
     cp, sp = _cos_phi(st, s_t), _sin_phi(st, s_t)
     tmp = cp * sx - sp * sy
@@ -317,7 +324,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
             max_depth: int, rr_start: int, pdf_floor: float,
             regen: bool = False, width: int = 0, height: int = 0,
             spp: int = 0, total_work: int = 0, n_lanes: int = 0,
-            defer_beta: bool = False):
+            defer_beta: bool = False, parity: bool = False):
     # operand unpacking: optional regen tables and external-hit planes
     # precede the state; regen outputs and the scratch cursor follow it
     i = 0
@@ -332,12 +339,18 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
      bx_ref, by_ref, bz_ref, rx_ref, ry_ref, rz_ref,
      salt_ref, depth_ref, alive_ref) = rest[i:i + 16]
     i += 16
+    if parity:
+        stale_ref = rest[i]
+        i += 1
     if regen:
         pix_ref = rest[i]
         i += 1
     (oxo, oyo, ozo, dxo, dyo, dzo, bxo, byo, bzo, rxo, ryo, rzo,
      alive_o, dtex_o, du_o, dv_o, dw_o) = rest[i:i + 17]
     i += 17
+    if parity:
+        stale_o = rest[i]
+        i += 1
     if regen:
         pix_o, fin_o, time_o, depth_o, salt_o, cursor_o = rest[i:i + 6]
         i += 6
@@ -790,31 +803,30 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
     bu = _cross3(nf, bv)
 
     wo = (-_dot3(d, bu), -_dot3(d, bv), -_dot3(d, nf))
-    u_mix = _uniform(salt, _DIM_MIX)
-    u_pick = _uniform(salt, _DIM_LIGHT_PICK)
-    u1 = _uniform(salt, _DIM_SAMPLE)
-    u2 = _uniform(salt, _DIM_SAMPLE + 1)
-
-    # BSDF importance sample (materials.py:sample_bsdf)
-    phi_c = 2.0 * np.float32(np.pi) * u1
-    sq_c = jnp.sqrt(u2)
-    cosd = (jnp.cos(phi_c) * sq_c, jnp.sin(phi_c) * sq_c,
-            jnp.sqrt(jnp.maximum(0.0, 1.0 - u2)))
-    wi_local = cosd
+    n_lights = len(light_kinds)
     if has_beck:
         b_ax = jnp.maximum(m_p0, 1e-4)
         b_ay = jnp.maximum(m_p1, 1e-4)
-        wh_s = _sample_wh_visible(wo, b_ax, b_ay, u1, u2)
-        beck_wi = _add3(_neg3(wo), _scale3(wh_s, 2.0 * _dot3(wo, wh_s)))
         is_beck = m_type == f32(int(MaterialType.BECKMANN))
-        wi_local = _where3(is_beck, beck_wi, cosd)
-    bsdf_dir = _normalize3(_add3(_add3(_scale3(bu, wi_local[0]),
+
+    def sample_bsdf_dir(u1, u2):
+        """materials.py:sample_bsdf — cosine lobe; Beckmann lanes VNDF."""
+        phi_c = 2.0 * np.float32(np.pi) * u1
+        sq_c = jnp.sqrt(u2)
+        cosd = (jnp.cos(phi_c) * sq_c, jnp.sin(phi_c) * sq_c,
+                jnp.sqrt(jnp.maximum(0.0, 1.0 - u2)))
+        wi_local = cosd
+        if has_beck:
+            wh_s = _sample_wh_visible(wo, b_ax, b_ay, u1, u2, parity)
+            beck_wi = _add3(_neg3(wo),
+                            _scale3(wh_s, 2.0 * _dot3(wo, wh_s)))
+            wi_local = _where3(is_beck, beck_wi, cosd)
+        return _normalize3(_add3(_add3(_scale3(bu, wi_local[0]),
                                        _scale3(bv, wi_local[1])),
                                  _scale3(nf, wi_local[2])))
 
-    n_lights = len(light_kinds)
-    if n_lights:
-        # light sample (lights.py:sample_lights, unrolled static kinds)
+    def sample_light_dir(u1, u2, u_pick):
+        """lights.py:sample_lights, unrolled static kinds."""
         pick = jnp.minimum((u_pick * n_lights).astype(jnp.int32),
                            n_lights - 1)
         light_dir = (zero, zero, zero)
@@ -852,11 +864,10 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                                  _scale3(lv, local[1])),
                            _scale3(lw, local[2]))
             light_dir = _where3(pick == li, wl, light_dir)
+        return light_dir
 
-        pick_light = u_mix < 0.5
-        wi = _where3(pick_light, light_dir, bsdf_dir)
-
-        # lights_pdf (uniform mixture over lights)
+    def lights_pdf_at(wi):
+        """lights.py:lights_pdf — uniform mixture over lights."""
         lpdf = zero
         for li, kind in enumerate(light_kinds):
             if kind == int(LightKind.RECT):
@@ -894,19 +905,10 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 pdf_l = jnp.where(c_l <= 0.0,
                                   np.float32(1.0 / (4.0 * np.pi)), pdf_l)
                 lpdf += pdf_l
-        lpdf = lpdf / np.float32(n_lights)
-    else:
-        wi = bsdf_dir
-        lpdf = None
+        return lpdf / np.float32(n_lights)
 
-    # BSDF pdf + weight at wi — shared wh / D / Lambda subexpressions
-    wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
-    cos_i = jnp.maximum(wil[2], 0.0)
-    cos_pdf = cos_i * _INV_PI
-    bpdf = cos_pdf
-    wgt = cos_i * _INV_PI          # lambertian f*cos
-    if has_on:
-        # full Oren-Nayar A+B term (materials.py:_oren_nayar_term)
+    def oren_nayar_term(wil):
+        """full A+B term at local wi (materials.py:_oren_nayar_term)."""
         sin_ti, sin_to = _sin_theta(wil), _sin_theta(wo)
         cp_i, sp_i = _cos_phi(wil, sin_ti), _sin_phi(wil, sin_ti)
         cp_o, sp_o = _cos_phi(wo, sin_to), _sin_phi(wo, sin_to)
@@ -919,29 +921,142 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         tan_beta = jnp.where(i_bigger,
                              sin_ti / jnp.maximum(abs_ci, 1e-8),
                              sin_to / jnp.maximum(abs_co, 1e-8))
-        on = cos_i * (m_p0 + m_p1 * max_cos * sin_alpha * tan_beta) * _INV_PI
-        wgt = jnp.where(m_type == f32(int(MaterialType.OREN_NAYAR)), on,
-                        wgt)
-    if has_beck:
-        wh = _safe_normalize3(_add3(wil, wo))
-        dD = _beckmann_d(wh, b_ax, b_ay)
-        lam_o = _beckmann_lambda(wo, b_ax, b_ay)
-        lam_i = _beckmann_lambda(wil, b_ax, b_ay)
-        same_h = wil[2] * wo[2] > 0.0
-        abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
-        g1_o = 1.0 / (1.0 + lam_o)
-        # pdf: VNDF density / (4 |wo.wh|)  — the |wo.wh| cancels
-        beck_pdf = dD * g1_o * jnp.abs(_dot3(wo, wh)) / abs_woz \
-            / jnp.maximum(4.0 * jnp.abs(_dot3(wo, wh)), 1e-8)
-        beck_pdf = jnp.where(same_h, beck_pdf, 0.0)
-        bpdf = jnp.where(is_beck, beck_pdf, bpdf)
-        # weight: D * G / (4 |woz|)   (f * cos, materials.py:bsdf_weight)
-        g_full = 1.0 / (1.0 + lam_o + lam_i)
-        beck_w = dD * g_full / jnp.maximum(4.0 * abs_woz, 1e-8)
-        beck_w = jnp.where(same_h, beck_w, 0.0)
-        wgt = jnp.where(is_beck, beck_w, wgt)
+        return (jnp.maximum(wil[2], 0.0)
+                * (m_p0 + m_p1 * max_cos * sin_alpha * tan_beta) * _INV_PI)
 
-    pdf = 0.5 * lpdf + 0.5 * bpdf if n_lights else bpdf
+    u_mix = _uniform(salt, _DIM_MIX)
+    u_pick = _uniform(salt, _DIM_LIGHT_PICK)
+    u1 = _uniform(salt, _DIM_SAMPLE)
+    u2 = _uniform(salt, _DIM_SAMPLE + 1)
+
+    if not parity:
+        bsdf_dir = sample_bsdf_dir(u1, u2)
+        if n_lights:
+            light_dir = sample_light_dir(u1, u2, u_pick)
+            pick_light = u_mix < 0.5
+            wi = _where3(pick_light, light_dir, bsdf_dir)
+            lpdf = lights_pdf_at(wi)
+        else:
+            wi = bsdf_dir
+            lpdf = None
+
+        # BSDF pdf + weight at wi — shared wh / D / Lambda subexpressions
+        wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
+        cos_i = jnp.maximum(wil[2], 0.0)
+        cos_pdf = cos_i * _INV_PI
+        bpdf = cos_pdf
+        wgt = cos_i * _INV_PI          # lambertian f*cos
+        if has_on:
+            on = oren_nayar_term(wil)
+            wgt = jnp.where(m_type == f32(int(MaterialType.OREN_NAYAR)),
+                            on, wgt)
+        if has_beck:
+            wh = _safe_normalize3(_add3(wil, wo))
+            dD = _beckmann_d(wh, b_ax, b_ay)
+            lam_o = _beckmann_lambda(wo, b_ax, b_ay)
+            lam_i = _beckmann_lambda(wil, b_ax, b_ay)
+            same_h = wil[2] * wo[2] > 0.0
+            abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
+            g1_o = 1.0 / (1.0 + lam_o)
+            # pdf: VNDF density / (4 |wo.wh|)  — the |wo.wh| cancels
+            beck_pdf = dD * g1_o * jnp.abs(_dot3(wo, wh)) / abs_woz \
+                / jnp.maximum(4.0 * jnp.abs(_dot3(wo, wh)), 1e-8)
+            beck_pdf = jnp.where(same_h, beck_pdf, 0.0)
+            bpdf = jnp.where(is_beck, beck_pdf, bpdf)
+            # weight: D * G / (4 |woz|) (f * cos, materials.py:bsdf_weight)
+            g_full = 1.0 / (1.0 + lam_o + lam_i)
+            beck_w = dD * g_full / jnp.maximum(4.0 * abs_woz, 1e-8)
+            beck_w = jnp.where(same_h, beck_w, 0.0)
+            wgt = jnp.where(is_beck, beck_w, wgt)
+
+        pdf = 0.5 * lpdf + 0.5 * bpdf if n_lights else bpdf
+    else:
+        # --- ref-parity draw (integrator.bounce_step parity block):
+        # diffuse lobes become light-sampling-only (the reference's
+        # surface-flipped cosine/O-N generate() + while(pdf==0) retry,
+        # pdf.h:47-110, Raytracing_n.cpp:79-83), the Beckmann mixture
+        # term on the light branch reads the heap-recycled *previous*
+        # Beckmann draw's pdf (the ``stale`` carry), and zero-pdf draws
+        # resample on fresh dimensions for _PARITY_RETRIES rounds.
+        is_lamb = m_type == f32(int(MaterialType.LAMBERTIAN))
+        is_on_m = m_type == f32(int(MaterialType.OREN_NAYAR))
+        light_only = is_lamb | is_on_m
+
+        def bpdf_parity_at(wiw):
+            """materials.bsdf_pdf under ref_parity at a world direction."""
+            wil = (_dot3(wiw, bu), _dot3(wiw, bv), _dot3(wiw, nf))
+            pdf_v = jnp.maximum(wil[2], 0.0) * _INV_PI
+            if has_on:
+                # parity: the *pdf* carries the full O-N formula
+                pdf_v = jnp.where(is_on_m, oren_nayar_term(wil), pdf_v)
+            if has_beck:
+                # beckmann_pdf::generate's stored value (pdf.h:144):
+                # D(wh) * G(wo_WORLD, wi_LOCAL) / (4 cosI cosO) — the
+                # mixed frames are the reference's, reproduced verbatim
+                wh = _safe_normalize3(_add3(wil, wo))
+                dD = _beckmann_d(wh, b_ax, b_ay)
+                lam_world = _beckmann_lambda(d, b_ax, b_ay)
+                lam_i = _beckmann_lambda(wil, b_ax, b_ay)
+                g_mixed = 1.0 / (1.0 + lam_world + lam_i)
+                beck = dD * g_mixed / jnp.maximum(
+                    4.0 * jnp.abs(wil[2]) * jnp.abs(wo[2]), 1e-8)
+                beck = jnp.where(wil[2] * wo[2] > 0.0, beck, 0.0)
+                pdf_v = jnp.where(is_beck, beck, pdf_v)
+            return pdf_v
+
+        stale = stale_ref[:]
+        wi = (zero, zero, jnp.ones_like(zero))
+        pdf = zero
+        need = zero > -1.0          # all lanes draw in round 0
+        for rnd in range(1 + _PARITY_RETRIES):
+            if rnd == 0:
+                um, up = u_mix, u_pick
+                v1, v2 = u1, u2
+            else:
+                base = _DIM_RETRY + 4 * (rnd - 1)
+                um = _uniform(salt, base)
+                up = _uniform(salt, base + 1)
+                v1 = _uniform(salt, base + 2)
+                v2 = _uniform(salt, base + 3)
+            b_dir = sample_bsdf_dir(v1, v2)
+            if n_lights:
+                l_dir = sample_light_dir(v1, v2, up)
+                pick_light = (um < 0.5) | light_only
+                wi_r = _where3(pick_light, l_dir, b_dir)
+                bpdf_r = bpdf_parity_at(wi_r)
+                bpdf_samp = bpdf_parity_at(b_dir)
+                took_bsdf = is_beck & ~pick_light if has_beck \
+                    else zero > 1.0
+                stale_new = jnp.where(took_bsdf, bpdf_samp, stale)
+                bpdf_use = jnp.where(is_beck & pick_light, stale, bpdf_r) \
+                    if has_beck else bpdf_r
+                pdf_r = 0.5 * lights_pdf_at(wi_r) + 0.5 * bpdf_use
+            else:
+                wi_r = b_dir
+                pdf_r = bpdf_parity_at(wi_r)
+                stale_new = stale
+            wi = _where3(need, wi_r, wi)
+            pdf = jnp.where(need, pdf_r, pdf)
+            stale = jnp.where(need, stale_new, stale)
+            need = need & (pdf <= 0.0)
+        stale_o[:] = stale
+
+        # weight at the final wi (materials.bsdf_weight under ref_parity:
+        # diffuse lobes plain cos/pi, Beckmann = the VNDF sampling
+        # density D*G1(wo)/(4 cosO) used as the BRDF, material.h:160-185)
+        wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
+        cos_i = jnp.maximum(wil[2], 0.0)
+        wgt = cos_i * _INV_PI
+        if has_beck:
+            wh = _safe_normalize3(_add3(wil, wo))
+            dD = _beckmann_d(wh, b_ax, b_ay)
+            lam_o = _beckmann_lambda(wo, b_ax, b_ay)
+            same_h = wil[2] * wo[2] > 0.0
+            abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
+            beck_w = (dD * (1.0 / (1.0 + lam_o))
+                      / jnp.maximum(4.0 * abs_woz, 1e-8))
+            wgt = jnp.where(is_beck, jnp.where(same_h, beck_w, 0.0), wgt)
+
     okp = pdf > pdf_floor
     inv_pdf = 1.0 / jnp.maximum(pdf, pdf_floor)
     scale = jnp.where(okp, wgt * inv_pdf, 0.0)
@@ -1128,6 +1243,7 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
                plane_f(tri_hit.normal[:, 2]),
                plane_f(tri_hit.uv[:, 0]), plane_f(tri_hit.uv[:, 1]),
                plane_f(tri_hit.mat.astype(jnp.float32))]
+    parity = bool(flags.ref_parity)
     ins = ext + [
         plane_f(o[:, 0]), plane_f(o[:, 1]), plane_f(o[:, 2]),
         plane_f(d[:, 0]), plane_f(d[:, 1]), plane_f(d[:, 2], 1.0),
@@ -1139,6 +1255,8 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         plane_i(state["depth"], jnp.int32),
         plane_i(state["alive"], jnp.int32),
     ]
+    if parity:
+        ins.append(plane_f(state["stale"]))    # heap-recycled pdf slot
     sph, rect, mat, light, med = _build_tables(scene, flags)
 
     kernel = functools.partial(
@@ -1148,7 +1266,8 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         has_ext=has_ext, light_kinds=tuple(flags.light_kinds),
         mat_kinds=tuple(flags.mat_kinds), tex_kinds=tuple(flags.tex_kinds),
         moving=bool(flags.moving), max_depth=int(max_depth),
-        rr_start=int(rr_start), pdf_floor=float(pdf_floor))
+        rr_start=int(rr_start), pdf_floor=float(pdf_floor),
+        parity=parity)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_f = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),
@@ -1156,18 +1275,22 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
     shape_f = jax.ShapeDtypeStruct((rows, 128), jnp.float32)
     shape_i = jax.ShapeDtypeStruct((rows, 128), jnp.int32)
 
+    n_out = 17 + (1 if parity else 0)
     outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[smem] * 5 + [tile_f] * (16 + len(ext)),
-        out_specs=tuple([tile_f] * 17),
+        in_specs=[smem] * 5 + [tile_f] * (len(ins)),
+        out_specs=tuple([tile_f] * n_out),
         out_shape=tuple([shape_f] * 12 + [shape_i, shape_i]
-                        + [shape_f, shape_f, shape_f]),
+                        + [shape_f, shape_f, shape_f]
+                        + ([shape_f] if parity else [])),
         interpret=interpret,
     )(sph, rect, mat, light, med, *ins)
 
     (ox, oy, oz, dx, dy, dz, bx, by, bz, rx, ry, rz,
-     alive_o, dtex, du, dv, dw) = outs
+     alive_o, dtex, du, dv, dw) = outs[:17]
+    if parity:
+        stale_out = outs[17]
 
     def unflat(a):
         return a.reshape(-1)[:n]
@@ -1187,7 +1310,7 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
             scene, flags, dtex, unflat(du), unflat(dv), unflat(dw),
             o_out, state["beta"], radiance_out, beta_out)
 
-    return dict(
+    out = dict(
         o=o_out,
         d=jnp.stack([unflat(dx), unflat(dy), unflat(dz)], axis=-1),
         time=state["time"],
@@ -1197,6 +1320,9 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         salt=state["salt"],
         depth=state["depth"] + 1,
     )
+    if parity:
+        out["stale"] = unflat(stale_out)
+    return out
 
 
 def _deferred_texture(scene: Scene, flags, dtex, du, dv, dw, o_out,
@@ -1258,6 +1384,8 @@ def fused_regen_available(scene: Scene, flags, spp: int, mode: str,
         return False
     if (flags.fused_deferred_albedo and rr_start < max_depth):
         return False  # same roulette/deferred-albedo exclusion as regen.py
+    if flags.ref_parity:
+        return False  # stale carry rides the two-launch path, not regen
     if not fused_bounce_available(flags, interpret=mode == "interpret"):
         return False
     return scene.n_tris == 0 and 1 <= spp <= _REGEN_SPP_CAP

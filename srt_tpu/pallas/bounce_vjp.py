@@ -32,28 +32,45 @@ import jax
 from srt_tpu.pallas.bounce import fused_bounce, fused_bounce_available
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def bounce_step_hybrid(scene, state, max_depth, rr_start, flags,
-                       pdf_floor, interpret=False):
+                       pdf_floor, interpret=False, frozen_geometry=False):
     """Drop-in for ``bounce_step`` on kernel-eligible scenes, reverse-
-    differentiable. Statics (depth/roulette/flags/floor/interpret) are
-    nondiff positional args so the VJP pair sees them unchanged."""
+    differentiable. Statics (depth/roulette/flags/floor/interpret/
+    frozen-geometry) are nondiff positional args so the VJP pair sees
+    them unchanged."""
     return fused_bounce(scene, state, max_depth, rr_start, flags,
                         pdf_floor, interpret=interpret)
 
 
-def _fwd(scene, state, max_depth, rr_start, flags, pdf_floor, interpret):
+def _fwd(scene, state, max_depth, rr_start, flags, pdf_floor, interpret,
+         frozen_geometry):
     out = fused_bounce(scene, state, max_depth, rr_start, flags,
                        pdf_floor, interpret=interpret)
     return out, (scene, state)
 
 
-def _bwd(max_depth, rr_start, flags, pdf_floor, interpret, res, ct):
+def _bwd(max_depth, rr_start, flags, pdf_floor, interpret, frozen_geometry,
+         res, ct):
     from srt_tpu.render.integrator import bounce_step
     scene, state = res
 
-    def f(sc, st):
-        return bounce_step(sc, st, max_depth, rr_start, flags, pdf_floor)
+    if frozen_geometry:
+        # Caller guarantees no geometric param is optimized, so those
+        # cotangents are zero by definition — detaching geometry INSIDE
+        # the backward recompute lets XLA dead-code-eliminate the whole
+        # intersection transpose. (Detaching it on the *primal* scene
+        # instead turns the values into checkpoint-saved residuals and
+        # measured slower — see diff/inverse.image_loss.)
+        from srt_tpu.diff.inverse import freeze_geometry
+
+        def f(sc, st):
+            return bounce_step(freeze_geometry(sc), st, max_depth,
+                               rr_start, flags, pdf_floor)
+    else:
+        def f(sc, st):
+            return bounce_step(sc, st, max_depth, rr_start, flags,
+                               pdf_floor)
 
     _, vjp_fn = jax.vjp(f, scene, state)
     return vjp_fn(ct)

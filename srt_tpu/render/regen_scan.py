@@ -37,11 +37,13 @@ from srt_tpu.scene.ir import Scene
 
 @partial(jax.jit, static_argnames=("n_steps", "wavefront", "max_depth",
                                    "rr_start", "flags", "pdf_floor",
-                                   "checkpoint", "unroll", "pallas_mode"))
+                                   "checkpoint", "unroll", "pallas_mode",
+                                   "frozen_geometry"))
 def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                 wavefront: int, max_depth: int, rr_start: int = 1 << 30,
                 flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True,
-                unroll: int = 1, pallas_mode: str = "off"):
+                unroll: int = 1, pallas_mode: str = "off",
+                frozen_geometry: bool = False):
     """Trace a queue of N primary rays -> ((N, 3) radiance, (N,) finished).
 
     ``finished`` is 1.0 for rays whose path terminated naturally inside the
@@ -108,7 +110,8 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
         if use_hybrid:
             nxt = bounce_step_hybrid(scene, substate, max_depth, rr_start,
                                      flags, pdf_floor,
-                                     pallas_mode == "interpret")
+                                     pallas_mode == "interpret",
+                                     frozen_geometry)
         else:
             nxt = bounce_step(scene, substate, max_depth, rr_start, flags,
                               pdf_floor)

@@ -259,3 +259,81 @@ def test_simple_light_marble_matches_xla():
     assert np.median(diff) < 1e-6
     assert (diff > 1e-3).mean() < 5e-3
     assert abs(img_k.mean() - img_x.mean()) < 1e-3
+
+
+def test_parity_mode_bounce_equivalence():
+    """ref_parity in-kernel (round 5): the stale heap-slot carry, the
+    light-only diffuse draw, the bounded retry rounds and the
+    as-implemented Beckmann/O-N formulas must match the XLA parity bounce
+    per-bounce on identical inputs (same contract and tolerances as
+    test_ball_scenes_bounce_equivalence)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from srt_tpu.core.rng import RaySampler
+    from srt_tpu.pallas.bounce import fused_bounce
+    from srt_tpu.render.integrator import bounce_step
+    from srt_tpu.scene.library import ball_scenes
+
+    scene, cam, _ = ball_scenes(aspect=1.0)
+    flags = SceneFlags.of(scene)._replace(ref_parity=True)
+    from srt_tpu.pallas.bounce import fused_bounce_available
+    assert fused_bounce_available(flags, interpret=True)
+    n = 4096
+    pix = jnp.arange(n, dtype=jnp.int32)
+    samp = jnp.zeros(n, jnp.int32)
+    s = (pix % 64).astype(jnp.float32) / 64.0
+    t = (pix // 64 % 64).astype(jnp.float32) / 64.0
+    sampler = RaySampler.create(0, pix, samp)
+    rays = cam.rays(s, t, sampler.uniform(32), sampler.uniform(33),
+                    sampler.uniform(34))
+    state = dict(o=rays.origin, d=rays.direction, time=rays.time,
+                 beta=jnp.ones((n, 3)), radiance=jnp.zeros((n, 3)),
+                 alive=jnp.ones(n, bool), salt=sampler.salt,
+                 depth=jnp.zeros(n, jnp.int32),
+                 stale=jnp.zeros((n,), jnp.float32))
+
+    step_xla = jax.jit(functools.partial(
+        bounce_step, max_depth=8, rr_start=1 << 30, flags=flags))
+    step_krn = jax.jit(functools.partial(
+        fused_bounce, max_depth=8, rr_start=1 << 30, flags=flags,
+        interpret=True))
+    for step in range(3):
+        a = step_xla(scene, state)
+        b = step_krn(scene, state)
+        live = np.asarray(a["alive"])
+        alive_mismatch = (np.asarray(a["alive"])
+                          != np.asarray(b["alive"])).mean()
+        assert alive_mismatch <= 2e-3, (step, alive_mismatch)
+        for key, tol, frac in (("d", 1e-4, 0.05), ("beta", 1e-3, 0.05),
+                               ("radiance", 1e-3, 0.01),
+                               ("stale", 1e-3, 0.05)):
+            da = np.abs(np.asarray(a[key]) - np.asarray(b[key]))
+            if da.ndim == 2:
+                da = da.max(-1)
+            if key != "radiance":   # dead-lane values are don't-care
+                da = np.where(live, da, 0.0)
+            frac_bad = (da > tol).mean()
+            assert frac_bad <= frac, (step, key, frac_bad, da.max())
+            assert np.median(da) <= 1e-5, (step, key)
+        state = a
+
+
+def test_parity_mode_image_matches_xla():
+    """End-to-end ref_parity render through the kernel engine vs the XLA
+    bounce — image statistics contract."""
+    from srt_tpu.scene.library import ball_scenes
+    scene, cam, _ = ball_scenes(aspect=1.0)
+    img_k, img_x = _render_both(scene, cam, width=32, height=32, spp=4,
+                                max_depth=5, ref_parity=True)
+    assert np.isfinite(img_k).all()
+    assert abs(img_k.mean() - img_x.mean()) < 0.03 * max(img_x.mean(), 1e-6)
+    same = np.isclose(img_k, img_x, rtol=1e-4, atol=1e-5).mean()
+    # parity's stale carry couples bounces across the whole lane history
+    # (a 1-ulp pdf difference persists in the slot and flips a later
+    # light-branch weight), so the bitwise-close fraction is lower than
+    # the non-parity engines' — the deterministic contract is the
+    # per-bounce test above; here means must agree and most pixels match
+    assert same > 0.80, same
