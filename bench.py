@@ -58,6 +58,10 @@ def main() -> None:
                          "per-scene rays/s + path-vertices/s")
     ap.add_argument("--matrix-width", type=int, default=256)
     ap.add_argument("--matrix-spp", type=int, default=8)
+    ap.add_argument("--matrix-out", default=None, metavar="FILE",
+                    help="also write the matrix joined against the "
+                         "per-scene C++ baseline (BASELINE_CPP.json) as "
+                         "a machine-checkable JSON artifact")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent XLA compilation cache")
     ap.add_argument("--wavefront", type=int, default=1 << 16,
@@ -177,10 +181,73 @@ def main() -> None:
         "nan_pixels": nan,
     }
 
+    # One triangle-kernel scene in the driver artifact too (the headline
+    # scene exercises the fused sphere/rect kernel; cornell_box adds the
+    # tile-cursor triangle-BVH family — VERDICT r4 item 7).
+    if scene_name == "ball_scenes":
+        try:
+            tri_scene, tri_cam, _ = get_scene("cornell_box", aspect=1.0)
+            tri_cfg = RenderConfig(width=256, height=256, spp=8,
+                                   max_depth=args.max_depth,
+                                   rr_start=1 << 30,
+                                   wavefront=args.wavefront)
+            np.asarray(render_regen(tri_scene, tri_cam, tri_cfg))  # warm
+            t0 = time.time()
+            tri_img = np.asarray(render_regen(tri_scene, tri_cam, tri_cfg))
+            tri_dt = time.time() - t0
+            result["tri_scene"] = {
+                "scene": "cornell_box", "width": 256, "spp": 8,
+                "rays_per_sec": round(256 * 256 * 8 / tri_dt, 1),
+                "nan_pixels": int(np.isnan(tri_img).sum())}
+            log(f"[tri] cornell_box: {result['tri_scene']}")
+        except Exception as e:
+            log(f"[tri] cornell_box FAILED: {type(e).__name__}: {e}")
+
     if args.matrix:
         result["matrix"] = scene_matrix(args, log)
+        if args.matrix_out:
+            _write_matrix_artifact(args, result["matrix"], log)
 
     print(json.dumps(result), flush=True)
+
+
+def _write_matrix_artifact(args, matrix, log):
+    """Join the measured matrix with BASELINE_CPP.json -> one JSON file
+    (scene -> srt_tpu rays/s, C++ rays/s, ratio) so 'beats the C++ on
+    every measurable scene' is machine-checkable, not prose."""
+    import datetime
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpp = {}
+    try:
+        with open(os.path.join(here, "BASELINE_CPP.json")) as f:
+            for row in json.load(f)["scenes"]:
+                cpp[row["scene"]] = row
+    except Exception as e:
+        log(f"[matrix-out] no C++ baseline: {e}")
+    joined = {}
+    for name, entry in matrix.items():
+        row = {"srt_tpu_rays_per_sec": entry.get("primary_rays_per_sec"),
+               "path_vertices_per_sec": entry.get("path_vertices_per_sec"),
+               "error": entry.get("error")}
+        c = cpp.get(name)
+        if c is not None:
+            cps = c.get("rays_per_sec") or c.get("rays_per_sec_upper_bound")
+            row["cpp_rays_per_sec"] = cps
+            row["cpp_note"] = c.get("error")
+            if cps and row["srt_tpu_rays_per_sec"]:
+                row["vs_cpp"] = round(row["srt_tpu_rays_per_sec"] / cps, 2)
+        joined[name] = {k: v for k, v in row.items() if v is not None}
+    artifact = {
+        "what": "per-scene srt_tpu (1 TPU v5e) vs reference C++ "
+                "(BASELINE_CPP.json, this host), same workload",
+        "workload": {"width": args.matrix_width, "height": args.matrix_width,
+                     "spp": args.matrix_spp, "max_depth": args.max_depth},
+        "date": datetime.date.today().isoformat(),
+        "scenes": joined,
+    }
+    with open(args.matrix_out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    log(f"[matrix-out] wrote {args.matrix_out}")
 
 
 def scene_matrix(args, log):

@@ -284,14 +284,20 @@ def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
         if parity:
             # ref parity: scattering_pdf = Pdf(wo,wh)/(4 wo.wh)
             # = D*G1(wo)/(4 cosO) — the VNDF sampling density used as the
-            # "BRDF" (material.h:160-185); no cosI, G1 not G.
+            # "BRDF" (material.h:160-185); no cosI, G1 not G. Note the
+            # reference's scattering_pdf has NO same-hemisphere clamp
+            # (material.h:183-184 — only the stored *pdf_value* zeroes on
+            # !SameHemisphere, pdf.h:146-149), and its signed
+            # Pdf/(4 dot(wo,wh)) denominator is always positive because
+            # dot(wo, wo+wi) = 1 + wo.wi >= 0 — so below-horizon light
+            # samples keep their (tiny-D) positive weight as-implemented.
             w_beck = (beckmann_d(wh, ax, ay) * g1(wo, ax, ay)
                       / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
         else:
             # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
             w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)
                       / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
-        w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)
+            w_beck = jnp.where(frame.same_hemisphere(wo, wi), w_beck, 0.0)
         w = jnp.where(t == MaterialType.BECKMANN, w_beck, w)
 
     weight = alb * w[..., None]

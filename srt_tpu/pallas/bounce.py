@@ -324,7 +324,8 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
             max_depth: int, rr_start: int, pdf_floor: float,
             regen: bool = False, width: int = 0, height: int = 0,
             spp: int = 0, total_work: int = 0, n_lanes: int = 0,
-            defer_beta: bool = False, parity: bool = False):
+            defer_beta: bool = False, parity: bool = False,
+            parity_no_stale: bool = False):
     # operand unpacking: optional regen tables and external-hit planes
     # precede the state; regen outputs and the scratch cursor follow it
     i = 0
@@ -981,6 +982,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         is_lamb = m_type == f32(int(MaterialType.LAMBERTIAN))
         is_on_m = m_type == f32(int(MaterialType.OREN_NAYAR))
         light_only = is_lamb | is_on_m
+        no_stale = parity_no_stale
 
         def bpdf_parity_at(wiw):
             """materials.bsdf_pdf under ref_parity at a world direction."""
@@ -1028,7 +1030,9 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 took_bsdf = is_beck & ~pick_light if has_beck \
                     else zero > 1.0
                 stale_new = jnp.where(took_bsdf, bpdf_samp, stale)
-                bpdf_use = jnp.where(is_beck & pick_light, stale, bpdf_r) \
+                stale_read = zero if no_stale else stale
+                bpdf_use = jnp.where(is_beck & pick_light, stale_read,
+                                     bpdf_r) \
                     if has_beck else bpdf_r
                 pdf_r = 0.5 * lights_pdf_at(wi_r) + 0.5 * bpdf_use
             else:
@@ -1043,7 +1047,9 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
 
         # weight at the final wi (materials.bsdf_weight under ref_parity:
         # diffuse lobes plain cos/pi, Beckmann = the VNDF sampling
-        # density D*G1(wo)/(4 cosO) used as the BRDF, material.h:160-185)
+        # density D*G1(wo)/(4 cosO) used as the BRDF, material.h:160-185
+        # — NO same-hemisphere clamp: the reference's scattering_pdf has
+        # none, only its stored *pdf_value* zeroes on !SameHemisphere)
         wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
         cos_i = jnp.maximum(wil[2], 0.0)
         wgt = cos_i * _INV_PI
@@ -1051,11 +1057,10 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
             wh = _safe_normalize3(_add3(wil, wo))
             dD = _beckmann_d(wh, b_ax, b_ay)
             lam_o = _beckmann_lambda(wo, b_ax, b_ay)
-            same_h = wil[2] * wo[2] > 0.0
             abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
             beck_w = (dD * (1.0 / (1.0 + lam_o))
                       / jnp.maximum(4.0 * abs_woz, 1e-8))
-            wgt = jnp.where(is_beck, jnp.where(same_h, beck_w, 0.0), wgt)
+            wgt = jnp.where(is_beck, beck_w, wgt)
 
     okp = pdf > pdf_floor
     inv_pdf = 1.0 / jnp.maximum(pdf, pdf_floor)
@@ -1267,7 +1272,8 @@ def fused_bounce(scene: Scene, state: dict, max_depth: int, rr_start: int,
         mat_kinds=tuple(flags.mat_kinds), tex_kinds=tuple(flags.tex_kinds),
         moving=bool(flags.moving), max_depth=int(max_depth),
         rr_start=int(rr_start), pdf_floor=float(pdf_floor),
-        parity=parity)
+        parity=parity,
+        parity_no_stale=bool(getattr(flags, "parity_no_stale", False)))
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_f = pl.BlockSpec((_TILE_ROWS, 128), lambda i: (i, 0),

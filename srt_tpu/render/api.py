@@ -47,6 +47,16 @@ class RenderConfig:
                                      # 64k measured fastest on v5e (PERF.md
                                      # sweep: 16k/32k/48k/64k/128k/256k/512k
                                      # -> 64k wins; big states thrash HBM)
+    parity_no_stale: bool = False    # diagnostic: zero the heap-slot
+                                     # reads (pairs with a C++ build whose
+                                     # beckmann_pdf zero-inits its malloc)
+    seq_stale: bool = False          # thread-faithful parity mode (scan
+                                     # engine only): render each pixel's
+                                     # samples SEQUENTIALLY, carrying the
+                                     # heap-recycled beckmann_pdf slot
+                                     # across samples like the reference's
+                                     # per-thread malloc slot does across
+                                     # its per-pixel ns loop (GOLDEN.md)
 
 
 def scene_flags(scene, config):
@@ -56,6 +66,8 @@ def scene_flags(scene, config):
     flags = SceneFlags.of(scene)
     if flags is not None and getattr(config, "ref_parity", False):
         flags = flags._replace(ref_parity=True)
+    if flags is not None and getattr(config, "parity_no_stale", False):
+        flags = flags._replace(parity_no_stale=True)
     return flags
 
 
@@ -66,15 +78,18 @@ _DIM_TIME = 34
 
 @partial(jax.jit, static_argnames=("width", "height", "max_depth", "rr_start",
                                    "n_samples", "with_aux", "flags",
-                                   "pdf_floor"))
+                                   "pdf_floor", "pallas_mode"))
 def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
                   sobol_pts, seed, *, width, height, max_depth, rr_start,
-                  n_samples, with_aux=False, flags=None, pdf_floor=1e-9):
+                  n_samples, with_aux=False, flags=None, pdf_floor=1e-9,
+                  stale_in=None, pallas_mode="off"):
     """Radiance sum over ``n_samples`` consecutive samples for a pixel chunk.
 
     Flattens (pixels × samples) into one wavefront so the whole chunk is a
     single fused program — the spp axis is data parallelism, exactly like
-    extra pixels.
+    extra pixels. With ``stale_in`` (requires ``n_samples == 1``:
+    lane == pixel), the parity heap-slot carry threads through and back
+    out — the sequential-sample golden mode (``RenderConfig.seq_stale``).
     """
     p = pixel_ids.shape[0]
     pix = jnp.repeat(pixel_ids, n_samples)                    # (P*S,)
@@ -93,9 +108,16 @@ def _render_chunk(scene: Scene, camera: Camera, pixel_ids, sample0,
     u_t = sampler.uniform(_DIM_TIME)
     rays = camera.rays(s, t, u_l1, u_l2, u_t)
 
+    if stale_in is not None:
+        assert n_samples == 1, "stale threading needs lane == pixel"
+        radiance, stale_out = trace(
+            scene, rays, sampler, max_depth=max_depth, rr_start=rr_start,
+            flags=flags, pdf_floor=pdf_floor, stale0=stale_in,
+            return_stale=True, pallas_mode=pallas_mode)
+        return radiance, stale_out
     out = trace(scene, rays, sampler, max_depth=max_depth,
                 rr_start=rr_start, with_aux=with_aux, flags=flags,
-                pdf_floor=pdf_floor)
+                pdf_floor=pdf_floor, pallas_mode=pallas_mode)
     if with_aux:
         radiance, aux = out
         return jnp.sum(radiance.reshape(p, n_samples, 3), axis=1), aux
@@ -135,19 +157,28 @@ def render(scene: Scene, camera: Camera, config: RenderConfig,
                       primary_rays=n_pixels * spp)
     t0 = _time.time()
 
+    seq = bool(config.seq_stale and flags is not None and flags.ref_parity)
+    if seq:
+        chunk = 1          # lane == pixel so the slot carry is per pixel
+        from srt_tpu.render.intersect import _pallas_mode
+        mode = _pallas_mode()
     for p0 in range(0, n_pixels, config.pixel_chunk):
         p1 = min(p0 + config.pixel_chunk, n_pixels)
         pixel_ids = jnp.arange(p0, p1, dtype=jnp.int32)
         part = jnp.zeros((p1 - p0, 3), jnp.float32)
+        stale = jnp.zeros((p1 - p0,), jnp.float32) if seq else None
         for s0 in range(0, spp, chunk):
             n_s = min(chunk, spp - s0)
             out = _render_chunk(
                 scene, camera, pixel_ids, s0, jit_pts,
                 config.seed, width=w, height=h,
                 max_depth=config.max_depth, rr_start=config.rr_start,
-                n_samples=n_s, with_aux=metrics, flags=flags,
-                pdf_floor=config.pdf_floor)
-            if metrics:
+                n_samples=n_s, with_aux=metrics and not seq, flags=flags,
+                pdf_floor=config.pdf_floor, stale_in=stale,
+                pallas_mode=mode if seq else "off")
+            if seq:
+                out, stale = out
+            elif metrics:
                 out, aux = out
                 m.add_chunk(aux)
             part = part + out

@@ -277,7 +277,10 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
                                                r.direction, bsdf_dir, flags)
                 took_bsdf = is_beck & ~pick_light
                 stale_out = jnp.where(took_bsdf, bpdf_at_sample, stale_in)
-                bpdf = jnp.where(is_beck & pick_light, stale_in, bpdf)
+                stale_read = (jnp.zeros_like(stale_in)
+                              if getattr(flags, "parity_no_stale", False)
+                              else stale_in)
+                bpdf = jnp.where(is_beck & pick_light, stale_read, bpdf)
             else:
                 stale_out = stale_in
             pdf = 0.5 * lights.lights_pdf(scene, hit.p, wi) + 0.5 * bpdf
@@ -347,7 +350,8 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
 
 def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
           rr_start: int = 64, with_aux: bool = False, flags=None,
-          pdf_floor: float = 1e-9):
+          pdf_floor: float = 1e-9, stale0=None, return_stale: bool = False,
+          pallas_mode: str = "off"):
     """Estimate radiance for a wavefront of primary rays -> (N, 3).
 
     Bounded ``lax.scan`` over :func:`bounce_step` with every lane in depth
@@ -361,6 +365,12 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
     ``with_aux``: also return device-side metrics counters
     (``alive_per_bounce`` (max_depth,), ``path_vertices``, ``nan_scrubbed``)
     for :class:`srt_tpu.utils.RenderMetrics`.
+
+    ``stale0``/``return_stale``: thread the parity heap-slot carry in and
+    out (the thread-faithful sequential-sample golden mode,
+    ``api.RenderConfig.seq_stale``). ``pallas_mode != "off"`` dispatches
+    the fused bounce kernel for eligible scenes — forward-only, so the
+    differentiable engines must keep the default.
     """
     n = ray.origin.shape[0]
     state = dict(
@@ -373,12 +383,43 @@ def trace(scene: Scene, ray: Ray, sampler: RaySampler, max_depth: int = 16,
     )
     if flags is not None and flags.ref_parity:
         # the heap-recycled beckmann_pdf slot (see bounce_step parity)
-        state["stale"] = np.zeros((n,), np.float32)
+        state["stale"] = (stale0 if stale0 is not None
+                          else np.zeros((n,), np.float32))
+
+    from srt_tpu.pallas.bounce import fused_bounce, fused_bounce_available
+    use_kernel = (pallas_mode != "off"
+                  and fused_bounce_available(
+                      flags, interpret=pallas_mode == "interpret"))
+
+    def step(state):
+        if use_kernel:
+            return fused_bounce(scene, state, max_depth, rr_start, flags,
+                                pdf_floor,
+                                interpret=pallas_mode == "interpret")
+        return bounce_step(scene, state, max_depth, rr_start, flags,
+                           pdf_floor)
+
+    if return_stale:
+        # forward-only sequential-golden path: a while_loop with early
+        # exit skips the ~max_depth/mean-depth dead-lane bounces the
+        # static scan would grind through (the diff engines need the
+        # scan; this path never differentiates)
+        assert not with_aux, "return_stale and with_aux are exclusive"
+
+        def w_cond(carry):
+            i, st = carry
+            return (i < max_depth) & jnp.any(st["alive"])
+
+        def w_body(carry):
+            i, st = carry
+            return i + 1, step(st)
+
+        _, state = jax.lax.while_loop(w_cond, w_body, (jnp.int32(0), state))
+        return de_nan(state["radiance"]), state.get("stale")
 
     def bounce(state, _):
         n_alive = jnp.sum(state["alive"].astype(jnp.int32))
-        return bounce_step(scene, state, max_depth, rr_start, flags,
-                           pdf_floor), n_alive
+        return step(state), n_alive
 
     state, alive_hist = jax.lax.scan(bounce, state, None, length=max_depth)
     # NaN scrub, as in de_nan (Raytracing_n.cpp:47-53) — counted, not silent.

@@ -87,6 +87,11 @@ class SceneFlags(NamedTuple):
     # Oren-Nayar's numerator is plain cos/pi (material.h:134-138) while the
     # full A+B formula sits in the pdf (pdf.h:64-101).
     ref_parity: bool = False
+    # Diagnostic variant of ref_parity: the light branch reads 0 from the
+    # heap slot instead of the previous Beckmann draw's pdf (paired with
+    # a C++ build whose beckmann_pdf ctor zero-initializes its malloc —
+    # the A/B that isolates the stale-distribution term, GOLDEN.md r5).
+    parity_no_stale: bool = False
 
     @staticmethod
     def of(scene) -> "SceneFlags | None":

@@ -39,6 +39,16 @@ def main() -> None:
                          "as-implemented Beckmann/Oren-Nayar estimator")
     ap.add_argument("--pdf-floor", type=float, default=1e-9,
                     help="mixture-pdf cutoff; 1e-4 suppresses fireflies")
+    ap.add_argument("--seq-stale", action="store_true",
+                    help="thread-faithful parity: render each pixel's "
+                         "samples sequentially (scan engine), carrying "
+                         "the heap-slot stale across samples like the "
+                         "reference's per-thread ns loop")
+    ap.add_argument("--parity-no-stale", action="store_true",
+                    help="diagnostic: zero the heap-slot reads (pairs "
+                         "with the zero-init C++ A/B build)")
+    ap.add_argument("--save-linear", action="store_true",
+                    help="also save the pre-tonemap linear radiance .npy")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-name", default=None,
                     help="override the output ppm filename")
@@ -64,8 +74,11 @@ def main() -> None:
     cfg = RenderConfig(width=args.size, height=args.size, spp=args.spp,
                        max_depth=args.max_depth, rr_start=1 << 30,
                        pdf_floor=args.pdf_floor,
-                       ref_parity=args.ref_parity, seed=args.seed)
-    fn = render_regen if args.engine == "regen" else render
+                       ref_parity=args.ref_parity, seed=args.seed,
+                       seq_stale=args.seq_stale,
+                       parity_no_stale=args.parity_no_stale)
+    fn = render_regen if args.engine == "regen" and not args.seq_stale \
+        else render
     t0 = time.time()
     img = np.asarray(fn(scene, camera, cfg))
     wall = time.time() - t0
@@ -75,6 +88,12 @@ def main() -> None:
     name = args.out_name or f"{args.scene}_{args.size}.ppm"
     ours_path = os.path.join(args.out_dir, name)
     write_ppm(ours_path, tm)
+    if args.save_linear:
+        # pre-tonemap float radiance: chunk averaging must happen in
+        # UNCLAMPED linear space — a firefly that saturates one chunk's
+        # 8-bit tonemap loses energy the golden's single high-spp
+        # accumulation keeps (the round-5 low-roughness-row residual)
+        np.save(ours_path.replace(".ppm", "_lin.npy"), img)
 
     result = {"scene": args.scene, "spp": args.spp, "size": args.size,
               "pdf_floor": args.pdf_floor,
