@@ -191,13 +191,25 @@ def sample_bsdf(scene: Scene, mat_id, normal, ray_dir, u1, u2, flags=None):
         # material is not Beckmann read garbage params (e.g. a light's
         # zeros), and alpha=0 creates inf partials that would NaN the
         # backward pass.
-        wo = basis.to_local(-ray_dir)
+        parity = flags is not None and flags.ref_parity
+        # ref parity: the reference builds the Beckmann frame from the
+        # RAW stored normal (beckmann_pdf ctor, pdf.h:122-124 — no
+        # face-forward flip). Identical for front hits; on backfacing /
+        # grazing hits the frames differ, which ROTATES the anisotropy
+        # ellipse — confirmed by a 48-case composition probe against the
+        # C++ (GOLDEN.md r5) where the face-forward frame mismatched 15
+        # cases including opposite SameHemisphere verdicts.
+        b_basis = OrthonormalBasis.from_w(normal) if parity else basis
+        wo = b_basis.to_local(-ray_dir)
+        if parity:
+            wo = normalize(wo)     # the reference unit_vector()s wwo
         ax = floor_clamp(params[..., 0], 1e-4)
         ay = floor_clamp(params[..., 1], 1e-4)
-        parity = flags is not None and flags.ref_parity
         wh = sample_wh_visible(wo, ax, ay, u1, u2, ref_parity=parity)
         beck_wi = frame.local_reflect(wo, wh)
-        wi_local = where3(t == MaterialType.BECKMANN, beck_wi, cos_dir)
+        beck_world = normalize(b_basis.to_world(beck_wi))
+        cos_world = normalize(basis.to_world(cos_dir))
+        return where3(t == MaterialType.BECKMANN, beck_world, cos_world)
 
     return normalize(basis.to_world(wi_local))
 
@@ -233,18 +245,25 @@ def bsdf_pdf(scene: Scene, mat_id, normal, ray_dir, wi_world, flags=None):
         # G(wo_WORLD, wi_LOCAL) / (4 cosI cosO) (pdf.h:144) — note the
         # mixed frames: G's first argument is the raw world-space
         # incoming direction r.direction(), whose z *world* component is
-        # treated as cos(theta). Reproduced verbatim. This value is what
-        # the mixture reads on the BSDF branch (where wi == the sampled
-        # reflect(wo, wh), so evaluating at the actual wi is exact); the
-        # light branch instead reads the heap-recycled *previous* bounce's
-        # value — see the ``stale`` plumbing in the integrator.
+        # treated as cos(theta). Reproduced verbatim, in the RAW-normal
+        # frame the reference builds (pdf.h:122-124 — no face-forward
+        # flip; see sample_bsdf). This value is what the mixture reads on
+        # the BSDF branch (where wi == the sampled reflect(wo, wh), so
+        # evaluating at the actual wi is exact); the light branch instead
+        # reads the heap slot — see the integrator's slot model.
         from srt_tpu.materials.microfacet import beckmann_lambda
+        r_basis = OrthonormalBasis.from_w(normal)
+        wi_r = r_basis.to_local(wi_world)
+        wo_r = normalize(r_basis.to_local(-ray_dir))
+        wh_r = safe_normalize(wi_r + wo_r)
         lam_world = beckmann_lambda(ray_dir, ax, ay)
-        lam_i = beckmann_lambda(wi, ax, ay)
+        lam_i = beckmann_lambda(wi_r, ax, ay)
         g_mixed = 1.0 / (1.0 + lam_world + lam_i)
-        beck = (beckmann_d(wh, ax, ay) * g_mixed
-                / jnp.maximum(4.0 * frame.abs_cos_theta(wi)
-                              * frame.abs_cos_theta(wo), 1e-8))
+        beck = (beckmann_d(wh_r, ax, ay) * g_mixed
+                / jnp.maximum(4.0 * frame.abs_cos_theta(wi_r)
+                              * frame.abs_cos_theta(wo_r), 1e-8))
+        beck = jnp.where(frame.same_hemisphere(wo_r, wi_r), beck, 0.0)
+        return jnp.where(t == MaterialType.BECKMANN, beck, pdf)
     else:
         beck = pdf_wh_visible(wo, wh, ax, ay) \
             / jnp.maximum(4.0 * jnp.abs(jnp.sum(wo * wh, axis=-1)), 1e-8)
@@ -284,15 +303,20 @@ def bsdf_weight(scene: Scene, mat_id, uv, p, normal, ray_dir, wi_world,
         if parity:
             # ref parity: scattering_pdf = Pdf(wo,wh)/(4 wo.wh)
             # = D*G1(wo)/(4 cosO) — the VNDF sampling density used as the
-            # "BRDF" (material.h:160-185); no cosI, G1 not G. Note the
-            # reference's scattering_pdf has NO same-hemisphere clamp
-            # (material.h:183-184 — only the stored *pdf_value* zeroes on
-            # !SameHemisphere, pdf.h:146-149), and its signed
-            # Pdf/(4 dot(wo,wh)) denominator is always positive because
-            # dot(wo, wo+wi) = 1 + wo.wi >= 0 — so below-horizon light
-            # samples keep their (tiny-D) positive weight as-implemented.
-            w_beck = (beckmann_d(wh, ax, ay) * g1(wo, ax, ay)
-                      / jnp.maximum(4.0 * frame.abs_cos_theta(wo), 1e-8))
+            # "BRDF" (material.h:160-185); no cosI, G1 not G; RAW-normal
+            # frame (the onb is built from rec.normal, material.h:161-162
+            # — see sample_bsdf). Note the reference's scattering_pdf has
+            # NO same-hemisphere clamp (material.h:183-184 — only the
+            # stored *pdf_value* zeroes on !SameHemisphere), and its
+            # signed Pdf/(4 dot(wo,wh)) denominator is always positive
+            # because dot(wo, wo+wi) = 1 + wo.wi >= 0 — so below-horizon
+            # light samples keep their (tiny-D) positive weight.
+            r_basis = OrthonormalBasis.from_w(normal)
+            wi_r = normalize(r_basis.to_local(wi_world))
+            wo_r = normalize(r_basis.to_local(-ray_dir))
+            wh_r = safe_normalize(wi_r + wo_r)
+            w_beck = (beckmann_d(wh_r, ax, ay) * g1(wo_r, ax, ay)
+                      / jnp.maximum(4.0 * frame.abs_cos_theta(wo_r), 1e-8))
         else:
             # BECKMANN microfacet with F=1: D*G/(4 cosO cosI) * cosI.
             w_beck = (beckmann_d(wh, ax, ay) * g(wo, wi, ax, ay)

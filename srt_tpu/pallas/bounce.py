@@ -56,7 +56,10 @@ _DIM_LIGHT_PICK = 13
 _DIM_SAMPLE = 14
 _DIM_RR = 16
 _DIM_RETRY = 17          # parity resample rounds (4 dims each)
+_DIM_SLOT = 33           # parity heap-slot Bernoulli
 _PARITY_RETRIES = 4      # = integrator._PARITY_RETRIES
+_PARITY_SLOT_ZERO_P = np.float32(0.086)   # = integrator constants (the
+_PARITY_KILL = np.float32(1e30)           # measured slot distribution)
 
 
 def fused_bounce_available(flags, interpret: bool = False) -> bool:
@@ -809,6 +812,23 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         b_ax = jnp.maximum(m_p0, 1e-4)
         b_ay = jnp.maximum(m_p1, 1e-4)
         is_beck = m_type == f32(int(MaterialType.BECKMANN))
+        if parity:
+            # ref parity: the Beckmann frame is built from the RAW stored
+            # normal (pdf.h:122-124, no face-forward flip) — identical on
+            # front hits, rotates the anisotropy ellipse on backfacing /
+            # grazing hits (materials.sample_bsdf; 48-case composition
+            # probe vs the C++, GOLDEN.md r5)
+            nr = _normalize3(n_st)
+            w_ax2 = _where3(jnp.abs(nr[0]) > 0.9,
+                            (zero, jnp.ones_like(zero), zero),
+                            (jnp.ones_like(zero), zero, zero))
+            bv_b = _normalize3(_cross3(nr, w_ax2))
+            bu_b = _cross3(nr, bv_b)
+            nf_b = nr
+            wo_b = _normalize3((-_dot3(d, bu_b), -_dot3(d, bv_b),
+                                -_dot3(d, nf_b)))
+        else:
+            bu_b, bv_b, nf_b, wo_b = bu, bv, nf, wo
 
     def sample_bsdf_dir(u1, u2):
         """materials.py:sample_bsdf — cosine lobe; Beckmann lanes VNDF."""
@@ -816,15 +836,18 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         sq_c = jnp.sqrt(u2)
         cosd = (jnp.cos(phi_c) * sq_c, jnp.sin(phi_c) * sq_c,
                 jnp.sqrt(jnp.maximum(0.0, 1.0 - u2)))
-        wi_local = cosd
-        if has_beck:
-            wh_s = _sample_wh_visible(wo, b_ax, b_ay, u1, u2, parity)
-            beck_wi = _add3(_neg3(wo),
-                            _scale3(wh_s, 2.0 * _dot3(wo, wh_s)))
-            wi_local = _where3(is_beck, beck_wi, cosd)
-        return _normalize3(_add3(_add3(_scale3(bu, wi_local[0]),
-                                       _scale3(bv, wi_local[1])),
-                                 _scale3(nf, wi_local[2])))
+        cos_world = _normalize3(_add3(_add3(_scale3(bu, cosd[0]),
+                                            _scale3(bv, cosd[1])),
+                                      _scale3(nf, cosd[2])))
+        if not has_beck:
+            return cos_world
+        wh_s = _sample_wh_visible(wo_b, b_ax, b_ay, u1, u2, parity)
+        beck_wi = _add3(_neg3(wo_b),
+                        _scale3(wh_s, 2.0 * _dot3(wo_b, wh_s)))
+        beck_world = _normalize3(_add3(_add3(_scale3(bu_b, beck_wi[0]),
+                                             _scale3(bv_b, beck_wi[1])),
+                                       _scale3(nf_b, beck_wi[2])))
+        return _where3(is_beck, beck_world, cos_world)
 
     def sample_light_dir(u1, u2, u_pick):
         """lights.py:sample_lights, unrolled static kinds."""
@@ -982,7 +1005,6 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         is_lamb = m_type == f32(int(MaterialType.LAMBERTIAN))
         is_on_m = m_type == f32(int(MaterialType.OREN_NAYAR))
         light_only = is_lamb | is_on_m
-        no_stale = parity_no_stale
 
         def bpdf_parity_at(wiw):
             """materials.bsdf_pdf under ref_parity at a world direction."""
@@ -995,18 +1017,31 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 # beckmann_pdf::generate's stored value (pdf.h:144):
                 # D(wh) * G(wo_WORLD, wi_LOCAL) / (4 cosI cosO) — the
                 # mixed frames are the reference's, reproduced verbatim
-                wh = _safe_normalize3(_add3(wil, wo))
+                # in its RAW-normal Beckmann frame
+                wil_b = _normalize3((_dot3(wiw, bu_b), _dot3(wiw, bv_b),
+                                     _dot3(wiw, nf_b)))
+                wh = _safe_normalize3(_add3(wil_b, wo_b))
                 dD = _beckmann_d(wh, b_ax, b_ay)
                 lam_world = _beckmann_lambda(d, b_ax, b_ay)
-                lam_i = _beckmann_lambda(wil, b_ax, b_ay)
+                lam_i = _beckmann_lambda(wil_b, b_ax, b_ay)
                 g_mixed = 1.0 / (1.0 + lam_world + lam_i)
                 beck = dD * g_mixed / jnp.maximum(
-                    4.0 * jnp.abs(wil[2]) * jnp.abs(wo[2]), 1e-8)
-                beck = jnp.where(wil[2] * wo[2] > 0.0, beck, 0.0)
+                    4.0 * jnp.abs(wil_b[2]) * jnp.abs(wo_b[2]), 1e-8)
+                beck = jnp.where(wil_b[2] * wo_b[2] > 0.0, beck, 0.0)
                 pdf_v = jnp.where(is_beck, beck, pdf_v)
             return pdf_v
 
-        stale = stale_ref[:]
+        # per-bounce heap-slot init (integrator.bounce_step: the slot
+        # never survives the bounce boundary — free() clobbers it with
+        # the tcache link; 8.6% zero pages, else contribution-killing
+        # garbage). The carried stale plane is inert and kept only for
+        # state-shape compatibility.
+        u_slot = _uniform(salt, _DIM_SLOT)
+        if parity_no_stale:
+            stale = zero
+        else:
+            stale = jnp.where(u_slot < _PARITY_SLOT_ZERO_P, zero,
+                              jnp.full_like(zero, _PARITY_KILL))
         wi = (zero, zero, jnp.ones_like(zero))
         pdf = zero
         need = zero > -1.0          # all lanes draw in round 0
@@ -1030,8 +1065,7 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
                 took_bsdf = is_beck & ~pick_light if has_beck \
                     else zero > 1.0
                 stale_new = jnp.where(took_bsdf, bpdf_samp, stale)
-                stale_read = zero if no_stale else stale
-                bpdf_use = jnp.where(is_beck & pick_light, stale_read,
+                bpdf_use = jnp.where(is_beck & pick_light, stale,
                                      bpdf_r) \
                     if has_beck else bpdf_r
                 pdf_r = 0.5 * lights_pdf_at(wi_r) + 0.5 * bpdf_use
@@ -1047,17 +1081,20 @@ def _kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
 
         # weight at the final wi (materials.bsdf_weight under ref_parity:
         # diffuse lobes plain cos/pi, Beckmann = the VNDF sampling
-        # density D*G1(wo)/(4 cosO) used as the BRDF, material.h:160-185
-        # — NO same-hemisphere clamp: the reference's scattering_pdf has
-        # none, only its stored *pdf_value* zeroes on !SameHemisphere)
+        # density D*G1(wo)/(4 cosO) used as the BRDF, material.h:160-185,
+        # in its RAW-normal frame — and NO same-hemisphere clamp: the
+        # reference's scattering_pdf has none, only its stored
+        # *pdf_value* zeroes on !SameHemisphere)
         wil = (_dot3(wi, bu), _dot3(wi, bv), _dot3(wi, nf))
         cos_i = jnp.maximum(wil[2], 0.0)
         wgt = cos_i * _INV_PI
         if has_beck:
-            wh = _safe_normalize3(_add3(wil, wo))
+            wil_b = _normalize3((_dot3(wi, bu_b), _dot3(wi, bv_b),
+                                 _dot3(wi, nf_b)))
+            wh = _safe_normalize3(_add3(wil_b, wo_b))
             dD = _beckmann_d(wh, b_ax, b_ay)
-            lam_o = _beckmann_lambda(wo, b_ax, b_ay)
-            abs_woz = jnp.maximum(jnp.abs(wo[2]), 1e-8)
+            lam_o = _beckmann_lambda(wo_b, b_ax, b_ay)
+            abs_woz = jnp.maximum(jnp.abs(wo_b[2]), 1e-8)
             beck_w = (dD * (1.0 / (1.0 + lam_o))
                       / jnp.maximum(4.0 * abs_woz, 1e-8))
             wgt = jnp.where(is_beck, beck_w, wgt)

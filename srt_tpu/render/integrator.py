@@ -35,7 +35,14 @@ _DIM_LIGHT_PICK = 13
 _DIM_SAMPLE = 14      # u1, u2 for light point / bsdf lobe
 _DIM_RR = 16          # russian roulette
 _DIM_RETRY = 17       # parity-mode resample rounds (4 dims each: mix, pick, u1, u2)
-_PARITY_RETRIES = 4
+_DIM_SLOT = 33        # parity heap-slot Bernoulli (see bounce_step)
+_DIM_RETRY_EXT = 40   # retry rounds 4+ (17..32 holds rounds 0-3)
+_PARITY_RETRIES = int(__import__('os').environ.get('SRT_TPU_PARITY_RETRIES', '4'))
+_PARITY_SLOT_ZERO_P = 0.086   # measured: fraction of light-branch slot
+                              # reads that see 0.0 instead of the tcache
+                              # pointer garbage (GOLDEN.md r5 BPLOG)
+_PARITY_KILL = 1e30           # the garbage read: |pdf| ~ 1e38 kills the
+                              # sample's contribution without a retry
 
 
 def _mesh_medium_crossings(scene: Scene, ray: Ray, m: int):
@@ -232,15 +239,31 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
                       | (t_mat == MT.OREN_NAYAR))
         is_beck = t_mat == MT.BECKMANN
         # beckmann_pdf is STATEFUL through the heap: generate() writes
-        # *pdf_value (a fresh 4-byte malloc), value() reads it, and
-        # color() deletes the object every bounce (Raytracing_n.cpp:94)
-        # so glibc's tcache hands the NEXT beckmann bounce the same
-        # chunk. Net as-implemented behavior: on the light branch the
-        # mixture's Beckmann term is the pdf stored by the *previous*
-        # Beckmann BSDF draw of the same thread (0.0 for a fresh page).
-        # Our persistent lane is the thread analogue: ``stale`` carries
-        # that value; BSDF-branch draws (including retries) refresh it.
-        stale = state.get("stale", jnp.zeros_like(r.time))
+        # *pdf_value (a 4-byte malloc), value() reads it, and color()
+        # deletes the object every bounce (Raytracing_n.cpp:92). Round 4
+        # modeled the slot as carrying the previous draw's pdf; round-5
+        # instrumentation of the actual binary (GOLDEN.md r5: a BPLOG
+        # build logging every slot construction/store/read) FALSIFIED
+        # that: free() overwrites the chunk's first bytes with glibc's
+        # safe-linked tcache next pointer, so the previous value survives
+        # construction only 1.8% of the time (coincidence). Measured
+        # as-implemented distribution at construction: 91.4% a constant
+        # garbage float (|x| ~ 1e38 — the scrambled pointer; the mixture
+        # pdf becomes ~ +-1e38 and the sample contributes ~0 WITHOUT
+        # retrying) and 8.6% exactly 0.0 (fresh zero page; the mixture
+        # term drops to 0.5*light_pdf). Within one bounce's retry loop
+        # the slot DOES hold this bounce's last stored pdf (same chunk,
+        # no intervening free). Model: per-bounce Bernoulli slot init
+        # (_PARITY_SLOT_ZERO_P) with _PARITY_KILL as the garbage;
+        # BSDF-branch rounds refresh it for later rounds of the SAME
+        # bounce. No cross-bounce carry.
+        u_slot = s.uniform(_DIM_SLOT)
+        if getattr(flags, "parity_no_stale", False):
+            # diagnostic pairing with the zero-init C++ A/B build
+            stale = jnp.zeros_like(r.time)
+        else:
+            stale = jnp.where(u_slot < _PARITY_SLOT_ZERO_P, 0.0,
+                              _PARITY_KILL)
 
     def draw(dim_mix, dim_pick, dim_s, stale_in=None):
         """One mixture draw -> (wi, pdf, stale'). Fresh dims per round."""
@@ -277,10 +300,7 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
                                                r.direction, bsdf_dir, flags)
                 took_bsdf = is_beck & ~pick_light
                 stale_out = jnp.where(took_bsdf, bpdf_at_sample, stale_in)
-                stale_read = (jnp.zeros_like(stale_in)
-                              if getattr(flags, "parity_no_stale", False)
-                              else stale_in)
-                bpdf = jnp.where(is_beck & pick_light, stale_read, bpdf)
+                bpdf = jnp.where(is_beck & pick_light, stale_in, bpdf)
             else:
                 stale_out = stale_in
             pdf = 0.5 * lights.lights_pdf(scene, hit.p, wi) + 0.5 * bpdf
@@ -299,10 +319,10 @@ def bounce_step(scene: Scene, state: dict, max_depth: int,
         # re-draw branch + sample for still-zero lanes (residual
         # probability of all rounds failing is ~(p_fail)^K, negligible).
         for rnd in range(_PARITY_RETRIES):
+            base = (_DIM_RETRY + 4 * rnd if rnd < 4
+                    else _DIM_RETRY_EXT + 4 * (rnd - 4))
             need = pdf <= 0.0
-            wi2, pdf2, stale2 = draw(_DIM_RETRY + 4 * rnd,
-                                     _DIM_RETRY + 4 * rnd + 1,
-                                     _DIM_RETRY + 4 * rnd + 2, stale_new)
+            wi2, pdf2, stale2 = draw(base, base + 1, base + 2, stale_new)
             wi = where3(need, wi2, wi)
             pdf = jnp.where(need, pdf2, pdf)
             # retried lanes' generate() calls also refresh the heap slot
