@@ -218,10 +218,11 @@ def _write_matrix_artifact(args, matrix, log):
     import datetime
     here = os.path.dirname(os.path.abspath(__file__))
     cpp = {}
+    alias = {"ball_orennayar": "ball_orennayar_scenes"}
     try:
         with open(os.path.join(here, "BASELINE_CPP.json")) as f:
             for row in json.load(f)["scenes"]:
-                cpp[row["scene"]] = row
+                cpp[alias.get(row["scene"], row["scene"])] = row
     except Exception as e:
         log(f"[matrix-out] no C++ baseline: {e}")
     joined = {}
