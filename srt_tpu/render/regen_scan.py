@@ -41,7 +41,8 @@ from srt_tpu.scene.ir import Scene
                                    "frozen_geometry"))
 def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                 wavefront: int, max_depth: int, rr_start: int = 1 << 30,
-                flags=None, pdf_floor: float = 1e-9, checkpoint: bool = True,
+                flags=None, pdf_floor: float = 1e-9,
+                checkpoint: bool | None = None,
                 unroll: int = 1, pallas_mode: str = "off",
                 frozen_geometry: bool = False):
     """Trace a queue of N primary rays -> ((N, 3) radiance, (N,) finished).
@@ -60,6 +61,13 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     from srt_tpu.pallas.bounce_vjp import (bounce_step_hybrid,
                                            hybrid_available)
     use_hybrid = hybrid_available(flags, pallas_mode)
+    if checkpoint is None:
+        # With the hybrid custom-VJP bounce the saved residuals are just
+        # the input states (small), and skipping jax.checkpoint's forward
+        # replay measured +11% train throughput; the pure-XLA bounce's
+        # residuals are every shading intermediate, where rematerializing
+        # is the only thing that fits in HBM at 256^2-scale queues.
+        checkpoint = not use_hybrid
 
     parity = flags is not None and flags.ref_parity
     zeros3 = jnp.zeros((m, 3), jnp.float32)
