@@ -58,7 +58,7 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
     # Fused-kernel forward with an XLA backward (pallas/bounce_vjp.py):
     # same static dispatch story as regen.py — `pallas_mode` rides the jit
     # cache key, the heavy eligibility test is in SceneFlags.
-    from srt_tpu.pallas.bounce_vjp import (bounce_step_hybrid,
+    from srt_tpu.pallas.bounce_vjp import (bounce_step_auto,
                                            hybrid_available)
     use_hybrid = hybrid_available(flags, pallas_mode)
     if checkpoint is None:
@@ -116,10 +116,10 @@ def trace_queue(scene: Scene, rays: Ray, salts, *, n_steps: int,
                    "depth") + (("stale",) if parity else ())
         substate = {k2: st[k2] for k2 in subkeys}
         if use_hybrid:
-            nxt = bounce_step_hybrid(scene, substate, max_depth, rr_start,
-                                     flags, pdf_floor,
-                                     pallas_mode == "interpret",
-                                     frozen_geometry)
+            nxt = bounce_step_auto(scene, substate, max_depth, rr_start,
+                                   flags, pdf_floor,
+                                   pallas_mode == "interpret",
+                                   frozen_geometry)
         else:
             nxt = bounce_step(scene, substate, max_depth, rr_start, flags,
                               pdf_floor)

@@ -290,3 +290,46 @@ def test_hybrid_kernel_vjp_matches_xla(monkeypatch):
     assert abs(loss_k - loss_x) < 1e-4 + 1e-3 * abs(loss_x)
     np.testing.assert_allclose(gtex_k, gtex_x, rtol=5e-3, atol=1e-5)
     np.testing.assert_allclose(gmat_k, gmat_x, rtol=5e-3, atol=1e-5)
+
+
+def test_bwd_kernel_vjp_matches_xla_backward(monkeypatch):
+    """The backward Pallas kernel (pallas/bounce_bwd.py): gradients through
+    the regen engine with the SAME kernel forward but the one-launch kernel
+    backward must match the XLA-linearization backward (SRT_TPU_BWD_KERNEL
+    off), on a scene covering the sphere winner recompute, the media
+    replay, Beckmann/Oren-Nayar mat_params and an area light."""
+    from srt_tpu.scene.ir import SceneFlags
+    from srt_tpu.pallas.bounce_bwd import bwd_kernel_available
+
+    scene, cam = _fog_scene()
+    flags = SceneFlags.of(scene)
+    assert flags.fused_bounce and bwd_kernel_available(scene, flags)
+    w = h = 8
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    target = render_pixels(scene, cam, pixel_ids, width=w, height=h,
+                           spp=4, max_depth=4, seed=99)
+
+    def run():
+        def f(params):
+            return image_loss(params, scene, cam, target, pixel_ids,
+                              width=w, height=h, spp=4, max_depth=4,
+                              seed=7)
+        params = {"tex_color": scene.tex_color,
+                  "mat_params": scene.mat_params}
+        loss, g = jax.value_and_grad(f)(params)
+        return float(loss), np.asarray(g["tex_color"]), \
+            np.asarray(g["mat_params"])
+
+    monkeypatch.setenv("SRT_TPU_PALLAS", "interpret")
+    monkeypatch.setenv("SRT_TPU_BWD_KERNEL", "off")
+    loss_x, gtex_x, gmat_x = run()
+    monkeypatch.setenv("SRT_TPU_BWD_KERNEL", "on")
+    loss_k, gtex_k, gmat_k = run()
+
+    # identical kernel forward on both sides; the backward kernel
+    # linearizes the kernel's own math, the fallback linearizes the XLA
+    # bounce — agreement is float-level, not bitwise
+    assert abs(loss_k - loss_x) < 1e-5 + 1e-4 * abs(loss_x)
+    assert np.abs(gtex_k).sum() > 0.0 and np.abs(gmat_k).sum() > 0.0
+    np.testing.assert_allclose(gtex_k, gtex_x, rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(gmat_k, gmat_x, rtol=2e-3, atol=1e-6)
