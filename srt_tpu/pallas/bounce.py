@@ -270,7 +270,8 @@ def _beckmann_lambda(w, ax, ay):
     abs_tan = jnp.minimum(jnp.abs(st / safe_c), 1e8)
     cp, sp = _cos_phi(w, st), _sin_phi(w, st)
     alpha = jnp.sqrt(cp * cp * ax * ax + sp * sp * ay * ay)
-    a = _gsrecip(jnp.maximum(alpha * abs_tan, 1e-16))
+    a = _gsdiv(jnp.float32(1.0) + 0.0 * abs_tan,
+               jnp.maximum(alpha * abs_tan, 1e-16))
     a_safe = jnp.clip(a, 1e-4, 1.6)
     lam = ((1.0 - 1.259 * a_safe + 0.396 * a_safe * a_safe)
            / (3.535 * a_safe + 2.181 * a_safe * a_safe))
@@ -291,7 +292,8 @@ def _beckmann_sample11(cos_t_i, u1, u2, parity: bool = False):
     cos_t = jnp.clip(cos_t_i, -1.0, 1.0)
     sin_t = _grad_safe_sqrt(1.0 - cos_t * cos_t)
     tan_t = _gsdiv(sin_t, jnp.maximum(cos_t, 1e-20))
-    cot_t = _gsrecip(jnp.maximum(tan_t, 1e-20))
+    cot_t = _gsdiv(jnp.float32(1.0) + 0.0 * tan_t,
+                   jnp.maximum(tan_t, 1e-20))
 
     a = jnp.full_like(u1, -1.0)
     c = (_erf_buggy if parity else _erf_poly)(cos_t)
@@ -399,7 +401,7 @@ def _make_sphere_body(sph_ref, o, d, time, t_min, moving: bool,
         b = _dot3(oc, d)
         c = _dot3(oc, oc) - rad * rad
         disc = b * b - c
-        sq = _grad_safe_sqrt(disc)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         t0, t1 = -b - sq, -b + sq
         ok = disc > 0.0
         t = jnp.where(ok & (t0 > t_min), t0,
@@ -482,10 +484,13 @@ def _read_lights(light_ref, n_lights: int):
 
 
 def _media_sweep(salt, o, d, t_best, wn, w_u, w_v, w_mat, w_is_rect,
-                 med_vals):
+                 med_vals, safe_ad: bool = False):
     """Participating media (integrator._apply_media, sphere/box analytic):
     a nearer stochastic in-scatter event overrides the hit. Pure
-    differentiable math (the free-flight RNG draw has zero tangent)."""
+    differentiable math (the free-flight RNG draw has zero tangent);
+    ``safe_ad`` switches to the value-identical NaN-free-tangent forms
+    (the backward kernel's twin — the plain forms are a hair cheaper on
+    the primal-only forward path)."""
     w_nx, w_ny, w_nz = wn
     for m, mv in enumerate(med_vals):
         kind = mv[0]
@@ -497,11 +502,14 @@ def _media_sweep(salt, o, d, t_best, wn, w_u, w_v, w_mat, w_is_rect,
         bq = _dot3(oc, d)
         cq = _dot3(oc, oc) - rad * rad
         disc = bq * bq - cq
-        sq = _grad_safe_sqrt(disc)
+        sq = (_grad_safe_sqrt(disc) if safe_ad
+              else jnp.sqrt(jnp.maximum(disc, 0.0)))
         s_in, s_out = -bq - sq, -bq + sq
         s_ok = disc > 0.0
-        inv = tuple(_gsrecip(jnp.where(jnp.abs(dc) < 1e-20, 1e-20, dc))
-                    for dc in d)
+        guarded = tuple(jnp.where(jnp.abs(dc) < 1e-20, 1e-20, dc)
+                        for dc in d)
+        inv = tuple((_gsdiv(jnp.ones_like(g), g) if safe_ad else 1.0 / g)
+                    for g in guarded)
         tt0 = tuple((-h - c_) * iv for h, c_, iv in zip(half, oc, inv))
         tt1 = tuple((h - c_) * iv for h, c_, iv in zip(half, oc, inv))
         b_in = jnp.maximum(jnp.maximum(jnp.minimum(tt0[0], tt1[0]),

@@ -178,7 +178,7 @@ def _bwd_kernel(sph_ref, rect_ref, mat_ref, light_ref, med_ref, *rest,
         if n_media:
             (t_b, (nx, ny, nz), u_d, v_d, _wm, w_ir) = _media_sweep(
                 salt, o_, d_, t_prim, (w_nx, w_ny, w_nz), u_d, v_d,
-                w_mat, w_is_rect, med_vals)
+                w_mat, w_is_rect, med_vals, safe_ad=True)
         else:
             t_b, (nx, ny, nz), w_ir = t_prim, (w_nx, w_ny, w_nz), w_is_rect
         w_is_rect_b, hit, p, unit, n_st = _hit_frame(
