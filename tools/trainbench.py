@@ -31,12 +31,14 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--engines", nargs="+", default=["regen", "scan"])
-    ap.add_argument("--wavefront", type=int, default=1 << 13)
+    # defaults = the r5 tuned optimum for the kernel-backward path
+    # (PERF.md sweep: wf 16k / unroll 16 -> 1.405M rays/s at 256^2)
+    ap.add_argument("--wavefront", type=int, default=1 << 14)
     ap.add_argument("--depth-budget", type=float, default=4.0)
     ap.add_argument("--drain", type=int, default=12)
-    ap.add_argument("--unroll", type=int, default=1,
-                    help="bounces per checkpointed scan step "
-                         "(regen engine)")
+    ap.add_argument("--unroll", type=int, default=16,
+                    help="bounces per scanned (and, for the pure-XLA "
+                         "bounce, checkpointed) step (regen engine)")
     args = ap.parse_args()
 
     from srt_tpu.utils.cache import enable as enable_cache
