@@ -333,3 +333,25 @@ def test_bwd_kernel_vjp_matches_xla_backward(monkeypatch):
     assert np.abs(gtex_k).sum() > 0.0 and np.abs(gmat_k).sum() > 0.0
     np.testing.assert_allclose(gtex_k, gtex_x, rtol=2e-3, atol=1e-6)
     np.testing.assert_allclose(gmat_k, gmat_x, rtol=2e-3, atol=1e-6)
+
+
+def test_bwd_kernel_gate_dispatch(monkeypatch):
+    """Gate regression: the backward kernel must engage for the headline
+    train scene (ball_scenes — image-textured emitter, the r5 regression
+    was a gate that silently excluded it) and must NOT engage for
+    triangle scenes or under SRT_TPU_BWD_KERNEL=off."""
+    from srt_tpu.pallas.bounce_bwd import bwd_kernel_available
+    from srt_tpu.scene.ir import SceneFlags
+    from srt_tpu.scene.library import get_scene
+
+    scene, _, _ = get_scene("ball_scenes", aspect=1.0)
+    flags = SceneFlags.of(scene)
+    assert bwd_kernel_available(scene, flags)
+
+    monkeypatch.setenv("SRT_TPU_BWD_KERNEL", "off")
+    assert not bwd_kernel_available(scene, flags)
+    monkeypatch.delenv("SRT_TPU_BWD_KERNEL")
+
+    tri, _, _ = get_scene("cornell_box", aspect=1.0)
+    tflags = SceneFlags.of(tri)
+    assert tri.n_tris and not bwd_kernel_available(tri, tflags)
